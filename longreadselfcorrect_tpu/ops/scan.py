@@ -1,0 +1,68 @@
+"""Batched per-position multi-k k-mer frequency scan.
+
+The reference computes, for every position of a read and every k in the pool
+(e.g. {5, 9, 19, 21}), the both-strand frequency of the k-mer starting there
+(LongReadProbe.cpp:136-158 filling KmerFeature::Log()[k][pos] via incremental
+``expand`` — KmerFeature.h:37-64).  Both component searches of a k-mer consume
+the word left-to-right, so the (k in pool) family at one position shares one
+incremental chain of LF steps.
+
+Here that chain is run simultaneously for *all* positions of *all* reads in a
+batch: lane (r, p) holds the bi-interval of reads[r, p : p+j] after step j.
+One step is four batched occ gathers over R*L lanes — this is the hot seeding
+kernel.  Frequencies are snapshot at each pool size.
+
+A k-mer whose window runs past the end of the read is "fake" and reports
+freq = -1 (KmerFeature.h:62,90); positions past the read end also report -1.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import alphabet as ab
+from ..index.fmindex import IndexSet
+from . import rank
+
+I32 = jnp.int32
+
+
+@partial(jax.jit, static_argnames=("pool",))
+def kmer_freq_scan(ix: IndexSet, reads: jax.Array, lengths: jax.Array, pool: tuple[int, ...]):
+    """Bi-strand k-mer frequencies at every position for every k in pool.
+
+    reads   : int8 [R, L] rank symbols, padded with PAD_RANK
+    lengths : int32 [R]
+    pool    : static ascending k sizes
+    returns : freqs int32 [len(pool), R, L]; -1 where the k-mer is fake
+              (pos + k > read length)
+    """
+    assert tuple(sorted(pool)) == tuple(pool)
+    R, L = reads.shape
+    sym0 = reads.astype(I32)
+    state = rank.init_bi(ix, jnp.clip(sym0, 0, 4))
+    max_k = pool[-1]
+    freqs = []
+    pos = jnp.arange(L, dtype=I32)[None, :]
+    for j in range(1, max_k + 1):
+        if j in pool:
+            fake = pos + j > lengths[:, None]
+            freqs.append(jnp.where(fake, -1, rank.bi_freq(state)))
+        if j == max_k:
+            break
+        # expand every lane by the character at pos + j; lanes whose window
+        # already left the read would produce garbage — freeze them instead
+        # (their snapshots are fake at all larger k anyway)
+        nxt = jnp.pad(sym0[:, j:], ((0, 0), (0, j)), constant_values=ab.PAD_RANK)
+        live = nxt < 5
+        new_state = rank.extend_bi(ix, state, jnp.clip(nxt, 0, 4))
+        state = tuple(jnp.where(live, n, o) for n, o in zip(new_state, state))
+    return jnp.stack(freqs)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def kmer_freq_single(ix: IndexSet, reads: jax.Array, lengths: jax.Array, k: int):
+    """Frequencies for one k (convenience wrapper, [R, L])."""
+    return kmer_freq_scan(ix, reads, lengths, (k,))[0]
