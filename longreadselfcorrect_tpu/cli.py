@@ -1,0 +1,211 @@
+"""stride-compatible command line interface.
+
+Subcommand surface mirrors StriDe/StriDe.cpp:38-121; implemented so far:
+
+  index      build BWT/RBWT of a read set       (StriDe/index.cpp)
+  pbcorrect  PacBio self-correction             (StriDe/PacBioSelfCorrection.cpp)
+  kmerfreq   interactive k-mer frequency probe  (StriDe/kmerfreq.cpp)
+
+Remaining subcommands (preprocess, correct, fmwalk, filter, overlap, assemble,
+asmlong, pbhc, ...) land as their engines are built.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def cmd_index(args) -> int:
+    import numpy as np
+
+    from .core import alphabet as ab
+    from .index import build, store
+    from .io import fasta
+
+    reads = []
+    for rec in fasta.read_seqs(args.readsfile):
+        reads.append(ab.encode(rec.seq))
+    print(f"Read {len(reads)} sequences", file=sys.stderr)
+    t0 = time.time()
+    fwd, rev = build.build_bwt_pair(reads)
+    print(f"Built BWT/RBWT ({fwd.num_symbols} symbols) in {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    prefix = args.prefix or os.path.splitext(args.readsfile)[0]
+    store.save_native(prefix, fwd, rev)
+    if args.ref_format:
+        store.save_reference_bwt(prefix + ".bwt", fwd)
+        store.save_reference_bwt(prefix + ".rbwt", rev)
+    print(f"Wrote {prefix}{store.NATIVE_SUFFIX} / {prefix}{store.RNATIVE_SUFFIX}",
+          file=sys.stderr)
+    return 0
+
+
+def _load_host_index(prefix: str):
+    from .index import store
+    from .index.host import HostFM, HostIndexSet
+
+    fwd, rev = store.load_any(prefix)
+    return HostIndexSet(
+        HostFM(fwd.symbols, fwd.num_strings), HostFM(rev.symbols, rev.num_strings)
+    )
+
+
+def cmd_pbcorrect(args) -> int:
+    from .core.correct import CorrectionParams, SelfCorrector
+    from .io import fasta
+
+    ix = _load_host_index(args.prefix)
+    params = CorrectionParams(
+        pb_coverage=args.PBcoverage,
+        error_rate=args.error_rate,
+        next_target=args.next_target,
+        max_leaves=args.max_leaves,
+        idmer_len=args.idmer_length,
+        min_kmer_len=args.min_kmer_size,
+        genome=args.genome,
+        mode=args.mode if args.mode is not None else 1,
+        manual=args.mode is not None,
+        adjust=args.kmer_size is not None,
+        start_kmer_len=args.kmer_size or 19,
+        split=args.split,
+        no_dp=args.nodp,
+    )
+    corrector = SelfCorrector(ix, params)
+    os.makedirs(args.output, exist_ok=True)
+
+    totals = dict(
+        reads_len=0, corrected_len=0, seed_num=0, walk_num=0, high_error=0,
+        exceed_depth=0, exceed_leave=0, fm=0, dp=0, seed_dis=0,
+    )
+    t0 = time.time()
+    n = 0
+    with open(os.path.join(args.output, "correct.fa"), "w") as fcorrect, open(
+        os.path.join(args.output, "discard.fa"), "w"
+    ) as fdiscard:
+        for rec in fasta.read_seqs(args.readsfile):
+            result = corrector.process(rec.id, rec.seq)
+            n += 1
+            if result.merge:
+                totals["reads_len"] += result.total_reads_len
+                totals["corrected_len"] += result.corrected_len
+                totals["seed_num"] += result.total_seed_num
+                totals["walk_num"] += result.total_walk_num
+                totals["high_error"] += result.high_error_num
+                totals["exceed_depth"] += result.exceed_depth_num
+                totals["exceed_leave"] += result.exceed_leave_num
+                totals["fm"] += result.fm_num
+                totals["dp"] += result.dp_num
+                totals["seed_dis"] += result.seed_dis
+                for i, s in enumerate(result.corrected_strs):
+                    flag = f"_{i}" if params.split else ""
+                    fasta.write_fasta(fcorrect, rec.id + flag, s)
+            else:
+                fasta.write_fasta(fdiscard, rec.id, rec.seq)
+            if n % 100 == 0:
+                dt = time.time() - t0
+                print(f"Processed {n} sequences in {dt:.1f}s ({n/dt:.1f} sequences/s)",
+                      file=sys.stderr)
+
+    # summary mirrors PacBioSelfCorrectionPostProcess dtor (:288-306)
+    if totals["walk_num"] > 0 and totals["reads_len"] > 0:
+        outcast = totals["walk_num"] - totals["fm"] - totals["dp"]
+        dp_outcast = totals["dp"] + outcast
+        print(
+            f"\nTotalReadsLen: {totals['reads_len']}\n"
+            f"CorrectedLen: {totals['corrected_len']}, ratio: "
+            f"{totals['corrected_len']/totals['reads_len']:g}\n"
+            f"TotalSeedNum: {totals['seed_num']}\n"
+            f"TotalWalkNum: {totals['walk_num']}\n"
+            f"FMNum: {totals['fm']}, ratio: {totals['fm']*100/totals['walk_num']:g}%\n"
+            f"DPNum: {totals['dp']}, ratio: {totals['dp']*100/totals['walk_num']:g}%\n"
+            f"OutcastNum: {outcast}, ratio: {outcast*100/totals['walk_num']:g}%"
+        )
+        if dp_outcast > 0:
+            print(
+                f"HighErrorNum: {totals['high_error']}, ratio: "
+                f"{totals['high_error']*100/dp_outcast:g}%\n"
+                f"ExceedDepthNum: {totals['exceed_depth']}, ratio: "
+                f"{totals['exceed_depth']*100/dp_outcast:g}%\n"
+                f"ExceedLeaveNum: {totals['exceed_leave']}, ratio: "
+                f"{totals['exceed_leave']*100/dp_outcast:g}%"
+            )
+        print(f"DisBetweenSeeds: {totals['seed_dis']//totals['walk_num']}")
+    return 0
+
+
+def cmd_kmerfreq(args) -> int:
+    from .core import alphabet as ab
+    from .core.threshold import KmerThreshold
+
+    ix = _load_host_index(args.prefix)
+    thresh = KmerThreshold(-1, 100, args.PBcoverage)
+    print("Please enter query sequence, kmer size and mode:", file=sys.stderr)
+    tokens = sys.stdin.read().split()
+    it = iter(tokens)
+    while True:
+        try:
+            query = next(it)
+            static_size = int(next(it))
+            mode = int(next(it))
+        except StopIteration:
+            break
+        qlen = len(query)
+        freq, valid = ix.kmer_freq_table(ab.encode(query), min(qlen, 150))
+        dynamic_size = static_size
+        for pos in range(0, qlen - static_size + 1):
+            sw = query[pos : pos + static_size]
+            sfreq = int(freq[static_size][pos])
+            dsize = dynamic_size
+            dw = query[0 : dsize]
+            dfreq = int(freq[dsize][0]) if dsize <= min(qlen, 150) else -1
+            print(
+                f"{pos}\t{sw}\t{sfreq} <-> {thresh.get(mode, static_size):g}\t"
+                f"{dw}\t{dfreq} <-> {thresh.get(mode, dsize):g}"
+            )
+            dynamic_size += 1
+        print("-")
+    print("Exit successfully!", file=sys.stderr)
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="lrsc", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("index", help="build FM-index of a read set")
+    p.add_argument("readsfile")
+    p.add_argument("-p", "--prefix", default=None)
+    p.add_argument("--ref-format", action="store_true",
+                   help="also write reference-compatible .bwt/.rbwt binaries")
+    p.set_defaults(func=cmd_index)
+
+    p = sub.add_parser("pbcorrect", help="PacBio self-correction")
+    p.add_argument("readsfile")
+    p.add_argument("-p", "--prefix", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-c", "--PBcoverage", type=int, default=90)
+    p.add_argument("-e", "--error-rate", type=float, default=0.15, dest="error_rate")
+    p.add_argument("-k", "--kmer-size", type=int, default=None, dest="kmer_size")
+    p.add_argument("-n", "--next-target", type=int, default=1, dest="next_target")
+    p.add_argument("-l", "--max-leaves", type=int, default=32, dest="max_leaves")
+    p.add_argument("-i", "--idmer-length", type=int, default=9, dest="idmer_length")
+    p.add_argument("-s", "--min-kmer-size", type=int, default=13, dest="min_kmer_size")
+    p.add_argument("-g", "--genome", type=int, default=10, choices=(5, 10, 100))
+    p.add_argument("-m", "--mode", type=int, default=None, choices=(0, 1, 2))
+    p.add_argument("--split", action="store_true")
+    p.add_argument("--nodp", action="store_true")
+    p.set_defaults(func=cmd_pbcorrect)
+
+    p = sub.add_parser("kmerfreq", help="interactive k-mer frequency probe")
+    p.add_argument("-p", "--prefix", required=True)
+    p.add_argument("-c", "--PBcoverage", type=int, default=90)
+    p.set_defaults(func=cmd_kmerfreq)
+
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

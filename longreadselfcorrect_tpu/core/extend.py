@@ -182,13 +182,13 @@ class HostExtendEngine:
         v = 0.8 * (dis_between - 20) + 2 * init_kmer_size
         self.min_length = int(v) if v >= 0 else U64 + int(v)
 
-        # terminal intervals per target-suffix offset (:82-88)
-        self.fwd_terminated = []
-        self.rvc_terminated = []
-        for i in range(0, len(self.trg) - self.min_overlap + 1):
-            ending = self.trg[i : i + self.min_overlap]
-            self.fwd_terminated.append(self._find(self.ix.rbwt, ending[::-1]))
-            self.rvc_terminated.append(self._find(self.ix.bwt, _revcomp(ending)))
+        # terminal intervals per target-suffix offset (:82-88), batched
+        trg_enc = ab.encode(self.trg)
+        win = np.lib.stride_tricks.sliding_window_view(trg_enc, self.min_overlap)
+        tf_lo, tf_hi = self.ix.rbwt.find_interval(win[:, ::-1])
+        tr_lo, tr_hi = self.ix.bwt.find_interval(ab.complement(win)[:, ::-1])
+        self.fwd_terminated = list(zip(tf_lo.tolist(), tf_hi.tolist()))
+        self.rvc_terminated = list(zip(tr_lo.tolist(), tr_hi.tolist()))
 
         # query seed-interval trees for idmer and 5-mer matching (:90-95)
         self.query = beginning + str_between + self.trg
@@ -204,15 +204,20 @@ class HostExtendEngine:
         return int(lo), int(hi)
 
     def _build_overlap_trees(self, overlap_size: int):
-        fwd_ivals, rvc_ivals = [], []
-        for i in range(0, len(self.query) - overlap_size + 1):
-            s = self.query[i : i + overlap_size]
-            lo, hi = self._find(self.ix.rbwt, s[::-1])
-            if lo <= hi:
-                fwd_ivals.append((lo, hi, i))
-            lo, hi = self._find(self.ix.bwt, _revcomp(s))
-            if lo <= hi:
-                rvc_ivals.append((lo, hi, i))
+        """Intervals of every query k-mer, batched over all positions."""
+        q = ab.encode(self.query)
+        n = len(q) - overlap_size + 1
+        if n <= 0:
+            return make_tree([]), make_tree([])
+        win = np.lib.stride_tricks.sliding_window_view(q, overlap_size)
+        f_lo, f_hi = self.ix.rbwt.find_interval(win[:, ::-1])
+        r_lo, r_hi = self.ix.bwt.find_interval(ab.complement(win)[:, ::-1])
+        fwd_ivals = [
+            (int(f_lo[i]), int(f_hi[i]), i) for i in range(n) if f_lo[i] <= f_hi[i]
+        ]
+        rvc_ivals = [
+            (int(r_lo[i]), int(r_hi[i]), i) for i in range(n) if r_lo[i] <= r_hi[i]
+        ]
         return make_tree(fwd_ivals), make_tree(rvc_ivals)
 
     # ------------------------------------------------------------------
@@ -326,11 +331,16 @@ class HostExtendEngine:
         return False
 
     def _refine_sa_interval(self, leaves: list[Leaf], new_kmer_size: int) -> None:
-        """refineSAInterval (:355-369)."""
-        for leaf in leaves:
-            reduced = leaf.full[len(leaf.full) - new_kmer_size:]
-            leaf.fwd_lo, leaf.fwd_hi = self._find(self.ix.rbwt, reduced[::-1])
-            leaf.rvc_lo, leaf.rvc_hi = self._find(self.ix.bwt, _revcomp(reduced))
+        """refineSAInterval (:355-369), batched over leaves."""
+        if leaves:
+            words = np.stack(
+                [ab.encode(leaf.full[len(leaf.full) - new_kmer_size:]) for leaf in leaves]
+            )
+            f_lo, f_hi = self.ix.rbwt.find_interval(words[:, ::-1])
+            r_lo, r_hi = self.ix.bwt.find_interval(ab.complement(words)[:, ::-1])
+            for k, leaf in enumerate(leaves):
+                leaf.fwd_lo, leaf.fwd_hi = int(f_lo[k]), int(f_hi[k])
+                leaf.rvc_lo, leaf.rvc_hi = int(r_lo[k]), int(r_hi[k])
         self.current_kmer_size = new_kmer_size
 
     # ------------------------------------------------------------------
@@ -351,16 +361,18 @@ class HostExtendEngine:
             kept.append(leaf)
         self.leaves = kept
 
+        probes = self._batch_probe_extensions(self.leaves)
+
         self.min_total_count = 10000000
         curr_leaves_num = 1
-        for leaf in self.leaves:
+        for li, leaf in enumerate(self.leaves):
             count = 0
             while count < 2:
                 if count == 1 and not (
                     leaf.local_err[-1] == minimum_error_rate and len(self.leaves) > 1
                 ):
                     break
-                extensions = self._get_fm_index_extensions(leaf)
+                extensions = self._get_fm_index_extensions(leaf, probes[li])
                 if extensions:
                     self._update_leaves(new_leaves, extensions, leaf, curr_leaves_num)
                     break
@@ -370,6 +382,35 @@ class HostExtendEngine:
             if self.min_total_count >= self.total_count:
                 self.min_total_count = self.total_count
             curr_leaves_num += 1
+
+    def _batch_probe_extensions(self, leaves: list[Leaf]):
+        """The 4-way ACGT interval probes for every leaf in one vectorised
+        pass (the per-leaf semantics of getFMIndexExtensions :686-718)."""
+        if not leaves:
+            return []
+        n = len(leaves)
+        f_lo = np.array([l.fwd_lo for l in leaves])[:, None].repeat(4, 1)
+        f_hi = np.array([l.fwd_hi for l in leaves])[:, None].repeat(4, 1)
+        r_lo = np.array([l.rvc_lo for l in leaves])[:, None].repeat(4, 1)
+        r_hi = np.array([l.rvc_hi for l in leaves])[:, None].repeat(4, 1)
+        syms = np.arange(1, 5)[None, :].repeat(n, 0)
+        f_valid = f_lo <= f_hi
+        nf_lo, nf_hi = self.ix.rbwt.update_interval(f_lo, f_hi, syms)
+        f_lo = np.where(f_valid, nf_lo, f_lo)
+        f_hi = np.where(f_valid, nf_hi, f_hi)
+        r_valid = r_lo <= r_hi
+        nr_lo, nr_hi = self.ix.bwt.update_interval(r_lo, r_hi, 5 - syms)
+        r_lo = np.where(r_valid, nr_lo, r_lo)
+        r_hi = np.where(r_valid, nr_hi, r_hi)
+        freq = np.maximum(f_hi - f_lo + 1, 0) + np.maximum(r_hi - r_lo + 1, 0)
+        return [
+            [
+                (RANK_CHARS[i + 1], int(f_lo[k, i]), int(f_hi[k, i]),
+                 int(r_lo[k, i]), int(r_hi[k, i]), int(freq[k, i]))
+                for i in range(4)
+            ]
+            for k in range(n)
+        ]
 
     def _update_leaves(self, new_leaves, extensions, leaf: Leaf, curr_leaves_num: int) -> None:
         """updateLeaves (:468-488)."""
@@ -405,27 +446,16 @@ class HostExtendEngine:
                 new_leaves.append(finish(child, ext))
 
     # ------------------------------------------------------------------
-    def _get_fm_index_extensions(self, leaf: Leaf):
-        """getFMIndexExtensions (:667-784).  Returns list of
-        (char, fwd_lo, fwd_hi, rvc_lo, rvc_hi, freq)."""
+    def _get_fm_index_extensions(self, leaf: Leaf, probes):
+        """getFMIndexExtensions (:667-784) cutoff logic over precomputed
+        probes; returns list of (char, fwd_lo, fwd_hi, rvc_lo, rvc_hi, freq)."""
         cutoff = self.min_sa_threshold
         self.total_count = 0
         max_freq_of_leaf = 0
-        probes = []
-        for i in range(1, 5):
-            b = RANK_CHARS[i]
-            f_lo, f_hi = leaf.fwd_lo, leaf.fwd_hi
-            if f_lo <= f_hi:
-                f_lo, f_hi = (int(x) for x in self.ix.rbwt.update_interval(f_lo, f_hi, i))
-            rcb_rank = 5 - i
-            r_lo, r_hi = leaf.rvc_lo, leaf.rvc_hi
-            if r_lo <= r_hi:
-                r_lo, r_hi = (int(x) for x in self.ix.bwt.update_interval(r_lo, r_hi, rcb_rank))
-            freq = _interval_size(f_lo, f_hi) + _interval_size(r_lo, r_hi)
+        for (_b, _fl, _fh, _rl, _rh, freq) in probes:
             self.total_count += freq
             if freq > max_freq_of_leaf:
                 max_freq_of_leaf = freq
-            probes.append((b, f_lo, f_hi, r_lo, r_hi, freq))
 
         out = []
         for (b, f_lo, f_hi, r_lo, r_hi, freq) in probes:

@@ -1,0 +1,101 @@
+"""Native on-disk index format + reference .bwt loader.
+
+Our native format stores the raw BWT symbol streams as an .npz; the packed
+device layout is rebuilt at load (cheap).  A loader for the reference's
+binary RLBWT format (SuffixTools/BWTReaderBinary, magic 0xCACA) keeps
+artifact-level compatibility with `stride index` outputs.
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .build import BWTData
+
+NATIVE_SUFFIX = ".bwt.npz"
+RNATIVE_SUFFIX = ".rbwt.npz"
+
+# reference binary format (SuffixTools/BWTReader.h:27-34, BWTWriterBinary.cpp:
+# writeHeader): u16 magic, u64 numStrings, u64 numSymbols, u64 numRuns,
+# i32 flag; then run bytes (RLUnit: symbol in HIGH 3 bits, count in LOW 5,
+# SuffixTools/RLUnit.h:12-23)
+RLBWT_FILE_MAGIC = 0xCACA
+BWT_FILE_MAGIC = 0xEFEF
+_HEADER_FMT = "<HQQQi"
+_HEADER_SIZE = struct.calcsize(_HEADER_FMT)  # 2+8+8+8+4 = 30 (packed)
+
+
+def save_native(path_prefix: str, fwd: BWTData, rev: BWTData) -> None:
+    np.savez_compressed(
+        path_prefix + NATIVE_SUFFIX, symbols=fwd.symbols, num_strings=fwd.num_strings
+    )
+    np.savez_compressed(
+        path_prefix + RNATIVE_SUFFIX, symbols=rev.symbols, num_strings=rev.num_strings
+    )
+
+
+def load_native(path: str) -> BWTData:
+    z = np.load(path)
+    symbols = z["symbols"]
+    return BWTData(
+        symbols=symbols, num_strings=int(z["num_strings"]), num_symbols=len(symbols)
+    )
+
+
+def load_reference_bwt(path: str) -> BWTData:
+    """Read a `stride index` .bwt/.rbwt file (binary RLBWT runs)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    magic, num_strings, num_symbols, num_runs, _flag = struct.unpack_from(_HEADER_FMT, data, 0)
+    if magic != RLBWT_FILE_MAGIC:
+        raise ValueError(f"{path}: unexpected magic {magic:#x} (want RLBWT 0xCACA)")
+    runs = np.frombuffer(data, dtype=np.uint8, offset=_HEADER_SIZE, count=num_runs)
+    syms = (runs >> 5).astype(np.int8)
+    lens = (runs & 0x1F).astype(np.int64)
+    symbols = np.repeat(syms, lens)
+    if len(symbols) != num_symbols:
+        raise ValueError(
+            f"{path}: run expansion produced {len(symbols)} symbols, header says {num_symbols}"
+        )
+    return BWTData(symbols=symbols, num_strings=int(num_strings), num_symbols=int(num_symbols))
+
+
+def save_reference_bwt(path: str, bwt: BWTData) -> None:
+    """Write the reference's binary RLBWT format (byte-compatible artifact)."""
+    symbols = bwt.symbols.astype(np.int8)
+    # run-length encode with the 31-count cap (RLUnit RL_FULL_COUNT)
+    change = np.flatnonzero(np.diff(symbols)) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(symbols)]])
+    run_syms = []
+    run_lens = []
+    for s, e in zip(starts, ends):
+        n = e - s
+        sym = int(symbols[s])
+        while n > 31:
+            run_syms.append(sym)
+            run_lens.append(31)
+            n -= 31
+        run_syms.append(sym)
+        run_lens.append(n)
+    runs = (np.array(run_syms, dtype=np.uint8) << 5) | np.array(run_lens, dtype=np.uint8)
+    with open(path, "wb") as fh:
+        fh.write(struct.pack(_HEADER_FMT, RLBWT_FILE_MAGIC, bwt.num_strings,
+                             bwt.num_symbols, len(runs), 0))
+        fh.write(runs.tobytes())
+
+
+def load_any(path_prefix: str):
+    """Load {bwt, rbwt} pair: native .npz if present, else reference binaries."""
+    import os
+
+    if os.path.exists(path_prefix + NATIVE_SUFFIX):
+        return (
+            load_native(path_prefix + NATIVE_SUFFIX),
+            load_native(path_prefix + RNATIVE_SUFFIX),
+        )
+    return (
+        load_reference_bwt(path_prefix + ".bwt"),
+        load_reference_bwt(path_prefix + ".rbwt"),
+    )
