@@ -1,0 +1,152 @@
+"""Device-accelerated self-correction.
+
+Runs the FM-extension walks of MANY reads' seed gaps as one batched device
+frontier (ops.walk), then replays the per-read correction workflow using the
+prefetched walk results.  The replay validates each gap's inputs against the
+optimistic prefetch (source tails can drift after an MSA/raw fallback): any
+gap whose inputs differ — or whose device lane was flagged — falls back to
+the host engine, so outputs are identical to SelfCorrector's.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import alphabet as ab
+from . import seeds as seedmod
+from .correct import CorrectionParams, CorrectionResult, SelfCorrector
+from .extend import HostExtendEngine
+from .seeds import Seed
+from ..ops import walk
+
+
+class BatchedSelfCorrector(SelfCorrector):
+    """SelfCorrector with device-prefetched FM-extension walks."""
+
+    def __init__(self, ix, dev_ix, params: CorrectionParams, thresh=None,
+                 cfg: walk.WalkConfig | None = None):
+        super().__init__(ix, params, thresh)
+        self.wx = (
+            dev_ix if isinstance(dev_ix, walk.WalkIndex)
+            else walk.WalkIndex.build(dev_ix, ix)
+        )
+        self.cfg = cfg or walk.WalkConfig(G=256, MAXLEN=768, QMAX=768, WSCAN=320)
+        self._prefetch: dict = {}
+        self.stats = {"prefetch_hit": 0, "prefetch_miss": 0, "host_fallback": 0}
+
+    # ------------------------------------------------------------------
+    def _plan_gap(self, source: Seed, target: Seed, read_seq: str):
+        """Replicates _gap_setup + the R->U transform of
+        correctByFMExtension (PacBioSelfCorrectionProcess.cpp:159-189)."""
+        interval = target.seed_start_pos - source.seed_end_pos - 1
+        ek = min(source.end_best_kmer_size, target.start_best_kmer_size) - 2
+        if source.is_repeat or target.is_repeat:
+            ek = min(source.seed_len, target.seed_len)
+            ek = min(ek, self.start_kmer_len + 2)
+        src = source.seed_str[source.seed_len - ek:]
+        trg = target.seed_str
+        if interval >= 0:
+            path = read_seq[source.seed_end_pos + 1 : source.seed_end_pos + 1 + interval]
+        else:
+            path = read_seq[source.seed_end_pos + 1:]
+        if source.is_repeat and not target.is_repeat:
+            src, trg = trg, src
+            src = ab.revcomp_str(src)
+            trg = ab.revcomp_str(trg)
+            path = ab.revcomp_str(path)
+        min_sa = (self.params.pb_coverage // 60) * 3 if self.params.pb_coverage > 60 else 3
+        return src, path, trg, interval, ek, min_sa
+
+    def _task_fits(self, src, path, trg, interval, ek) -> bool:
+        cfg = self.cfg
+        beginning_len = ek
+        qlen = beginning_len + len(path) + len(trg)
+        if qlen > cfg.QMAX:
+            return False
+        max_length = int(1.2 * (interval + 10) + 2 * ek)
+        if max_length + 2 > cfg.MAXLEN:
+            return False
+        max_indel = int(interval * 0.2) if interval > 100 else 20
+        if cfg.WSCAN < 2 * max_indel + cfg.seed_size * 2 + 3:
+            return False
+        if len(trg) - 13 + 1 > cfg.TMAX or len(trg) < 13:
+            return False
+        if ek + 2 + 1 > cfg.KMAX or ek < walk.CACHE_K + 2:
+            return False
+        return True
+
+    # ------------------------------------------------------------------
+    def process_batch(self, items: list[tuple[str, str]]) -> list[CorrectionResult]:
+        """Correct a batch of (read_id, sequence) reads."""
+        per_read = []
+        for rid, seq in items:
+            seeds = seedmod.search_seeds(seq, self.ix, self.probe_params, self.thresh)
+            per_read.append((rid, seq, seeds))
+
+        # optimistic prefetch: every consecutive seed pair of every read
+        tasks, keys = [], []
+        for rid, seq, seeds in per_read:
+            for i in range(1, len(seeds)):
+                src, path, trg, interval, ek, min_sa = self._plan_gap(
+                    seeds[i - 1], seeds[i], seq
+                )
+                if not self._task_fits(src, path, trg, interval, ek):
+                    continue
+                tasks.append(walk.GapTask(
+                    src=src, path=path, trg=trg, dis=interval, init_k=ek,
+                    max_overlap=ek + 2, min_overlap=self.params.min_kmer_len,
+                    min_sa_threshold=min_sa,
+                ))
+                keys.append((src, path, trg, interval, ek))
+
+        self._prefetch = {}
+        for base in range(0, len(tasks), self.cfg.G):
+            chunk = tasks[base : base + self.cfg.G]
+            res = walk.run_gap_batch(
+                self.ix, self.wx, chunk, self.cfg,
+                self.params.error_rate, self.params.pb_coverage,
+            )
+            for key, r in zip(keys[base : base + self.cfg.G], res):
+                self._prefetch[key] = r
+
+        out = []
+        for rid, seq, seeds in per_read:
+            result = CorrectionResult(read_id=rid)
+            result.total_seed_num = len(seeds)
+            pieces = self._init_correct(seq, seeds, result)
+            result.merge = bool(pieces)
+            result.total_reads_len = len(seq)
+            result.corrected_strs = [p.seed_str for p in pieces]
+            out.append(result)
+        return out
+
+    # ------------------------------------------------------------------
+    def _correct_by_fm_extension(self, source: Seed, target: Seed, read_seq: str,
+                                 result: CorrectionResult):
+        src, path, trg, interval, ek, min_sa = self._plan_gap(source, target, read_seq)
+        key = (src, path, trg, interval, ek)
+        hit = self._prefetch.get(key)
+        if hit is not None and hit[0] != -100:
+            self.stats["prefetch_hit"] += 1
+            code, merged = hit
+        else:
+            if hit is None:
+                self.stats["prefetch_miss"] += 1
+            else:
+                self.stats["host_fallback"] += 1
+            engine = HostExtendEngine(
+                self.ix, src, path, trg, interval, ek, ek + 2, self.fm_params, min_sa,
+            )
+            code, wres = engine.extend()
+            merged = wres.merged_seq
+        if code < 0:
+            return code, ""
+        if source.is_repeat and not target.is_repeat:
+            merged = ab.revcomp_str(merged)
+            merged += ab.revcomp_str(src)[ek:]
+        out = merged[ek:]
+        result.corrected_len += len(out)
+        result.seed_dis += interval
+        result.fm_num += 1
+        return code, out

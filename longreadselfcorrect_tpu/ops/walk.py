@@ -1,0 +1,1189 @@
+"""Batched device FM-extension walk — the TPU frontier engine.
+
+The host engine (core/extend.py) walks one seed-gap at a time with Python
+control flow.  This module reformulates the walk as fixed-shape tensors over
+``G`` gap lanes x ``L`` leaf slots, advanced by ONE jitted superstep per base:
+every FM-index probe in a superstep is a batched rank gather over all active
+(gap, leaf) lanes, so thousands of independent seed-gaps from many reads
+stream through the chip together.  Semantics follow
+PacBio/LongReadCorrectByOverlap.cpp; the two documented divergences from the
+scalar reference are:
+
+* seed-support ties (equal |pos - currSeedIdx|) break by (smaller pos, fwd
+  strand) instead of interval-tree traversal order
+  (LongReadCorrectByOverlap.cpp:566-635);
+* error-rate accumulation runs in float32 by default (float64 when x64 is
+  enabled); the reference uses C doubles.
+
+Both are validated against the host engine in tests (divergence is expected
+to be rare); gaps whose on-device result is flagged (result overflow) are
+replayed on the host engine by the scheduler.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import alphabet as ab
+from ..index.fmindex import IndexSet
+from . import rank
+
+I32 = jnp.int32
+NEG = jnp.int32(-(1 << 30))
+
+
+CACHE_K = 8  # cached kmer length for chain seeding (BWTIntervalCache analog)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["blocks", "ckpt", "C_bwt", "C_rbwt", "wcache", "fcache"],
+    meta_fields=["block", "rbwt_row_off"],
+)
+@dataclass(frozen=True)
+class FusedFM:
+    """BWT and RBWT concatenated into one rank table so a chain iteration
+    touching both strands issues a single stacked gather, plus precomputed
+    interval tables for every CACHE_K-mer (exact chain seeding — the values
+    equal what CACHE_K LF steps would produce, cf. BWTIntervalCache /
+    findIntervalWithCache BWTAlgorithms.cpp:42-68)."""
+
+    blocks: jax.Array      # i8  [nb_bwt + nb_rbwt, B]
+    ckpt: jax.Array        # i32 [nb_bwt + nb_rbwt, 5]
+    C_bwt: jax.Array       # i32 [6]
+    C_rbwt: jax.Array      # i32 [6]
+    wcache: jax.Array      # i32 [4^CK, 4] walk-convention bi-interval of word
+    fcache: jax.Array      # i32 [4^CK, 4] BWT-direct bi-interval of word
+    block: int
+    rbwt_row_off: int
+
+    @staticmethod
+    def from_index_set(ix: IndexSet, host_ix) -> "FusedFM":
+        assert ix.bwt.block == ix.rbwt.block
+        wc, fc = _build_kmer_caches(host_ix)
+        return FusedFM(
+            blocks=jnp.concatenate([ix.bwt.blocks, ix.rbwt.blocks], axis=0),
+            ckpt=jnp.concatenate([ix.bwt.ckpt, ix.rbwt.ckpt], axis=0),
+            C_bwt=ix.bwt.C,
+            C_rbwt=ix.rbwt.C,
+            wcache=jnp.asarray(wc),
+            fcache=jnp.asarray(fc),
+            block=ix.bwt.block,
+            rbwt_row_off=ix.bwt.blocks.shape[0],
+        )
+
+
+def _build_kmer_caches(host_ix):
+    """Host-side interval tables for all CACHE_K-mers (numpy, vectorised)."""
+    n = 4 ** CACHE_K
+    codes = np.arange(n, dtype=np.int64)
+    # word[i] = ((code >> 2*(CK-1-i)) & 3) + 1, i=0 leftmost
+    words = np.stack(
+        [((codes >> (2 * (CACHE_K - 1 - i))) & 3) + 1 for i in range(CACHE_K)], axis=1
+    ).astype(np.int8)
+    comp = (5 - words).astype(np.int8)
+    # walk convention: fwd = reverse(w) in RBWT, rvc = revcomp(w) in BWT
+    wf_lo, wf_hi = host_ix.rbwt.find_interval(words[:, ::-1])
+    wr_lo, wr_hi = host_ix.bwt.find_interval(comp[:, ::-1])
+    wcache = np.stack([wf_lo, wf_hi, wr_lo, wr_hi], axis=1).astype(np.int32)
+    # BWT-direct convention: w in BWT, complement(w) in RBWT
+    ff_lo, ff_hi = host_ix.bwt.find_interval(words)
+    fr_lo, fr_hi = host_ix.rbwt.find_interval(comp)
+    fcache = np.stack([ff_lo, ff_hi, fr_lo, fr_hi], axis=1).astype(np.int32)
+    return wcache, fcache
+
+
+def _pack_label_code(labels, start_pos, parent=None, ext_sym=None, cur_len=None):
+    """2-bit code of CACHE_K chars labels[g, :, start_pos : start_pos+CK]."""
+    G = labels.shape[0]
+    code = None
+    for i in range(CACHE_K):
+        sym = _take_label(labels, start_pos + i).astype(I32)
+        if parent is not None:
+            sym = sym[:, parent]
+            sym = jnp.where(((start_pos + i) == cur_len - 1)[:, None], ext_sym, sym)
+        sym = jnp.clip(sym, 1, 4) - 1
+        code = sym if code is None else ((code << 2) | sym)
+    return code
+
+
+def occ_fused(fm: FusedFM, sym, idx, is_rbwt):
+    """occ over the fused table; is_rbwt selects the sub-table per lane."""
+    p = (idx + 1).astype(I32)
+    q = p // fm.block + jnp.where(is_rbwt, fm.rbwt_row_off, 0)
+    r = p - (p // fm.block) * fm.block
+    rows = fm.blocks[q]
+    lane = jax.lax.broadcasted_iota(I32, rows.shape, rows.ndim - 1)
+    hits = (rows == sym[..., None].astype(jnp.int8)) & (lane < r[..., None])
+    return fm.ckpt[q, sym.astype(I32)] + hits.sum(axis=-1, dtype=I32)
+
+
+def _register(cls, data, meta=()):
+    return partial(
+        jax.tree_util.register_dataclass, data_fields=list(data), meta_fields=list(meta)
+    )(cls)
+
+
+@dataclass(frozen=True)
+class WalkConfig:
+    G: int = 64            # gap lanes
+    L: int = 12            # leaf storage slots (< maxLeaves: gaps that grow
+                           # beyond L but <= maxLeaves are re-run at L=32)
+    CAND: int = 48         # transient candidates (4 * L)
+    MAXLEN: int = 512      # label buffer (covers maxLength)
+    QMAX: int = 512        # query buffer
+    TMAX: int = 48         # terminal-interval slots (trg_len - minOverlap + 1)
+    RMAX: int = 16         # result slots per gap
+    RING: int = 100        # localSimilarlykmerSize
+    KMAX: int = 24         # upper bound on any backward-search chain length
+    WSCAN: int = 288       # query-position scan window (>= 2*max_indel+21)
+    seed_size: int = 9     # idmer length
+    max_leaves: int = 32
+    err_dtype: type = jnp.float32
+
+
+@dataclass
+class GapTask:
+    """Host-side description of one seed-gap walk (inputs of
+    LongReadSelfCorrectByOverlap's constructor)."""
+
+    src: str               # source seed suffix (length == init_k)
+    path: str              # raw read between the seeds
+    trg: str               # target seed
+    dis: int               # disBetweenSrcTarget
+    init_k: int
+    max_overlap: int
+    min_overlap: int
+    min_sa_threshold: int
+    tag: object = None     # scheduler cookie
+
+
+@dataclass(frozen=True)
+class WalkConsts:
+    """Per-gap constant tensors (uploaded once per batch)."""
+
+    query: jax.Array        # i8  [G, QMAX]
+    q_len: jax.Array        # i32 [G]
+    trg: jax.Array          # i8  [G, TMAX + KMAX]  (target seed, padded)
+    trg_len: jax.Array      # i32 [G]
+    n_term: jax.Array       # i32 [G] number of terminal offsets
+    term_f: jax.Array       # i32 [G, TMAX, 2] terminal fwd intervals
+    term_r: jax.Array       # i32 [G, TMAX, 2]
+    qcode9: jax.Array       # i32 [G, QMAX] packed idmer at each query pos (-1 pad)
+    qcode5: jax.Array       # i32 [G, QMAX] packed 5-mer at each query pos
+    init_k: jax.Array       # i32 [G]
+    max_overlap: jax.Array  # i32 [G]
+    min_overlap: jax.Array  # i32 [G]
+    min_sa: jax.Array       # i32 [G]
+    max_indel: jax.Array    # i32 [G]
+    max_length: jax.Array   # i32 [G]
+    min_length: jax.Array   # i32 [G] (clamped; no_term handles wrap)
+    no_term: jax.Array      # bool [G] min-length wrapped => never terminates
+    freqs: jax.Array        # f32 [101] expected freq per k (shared)
+    pacbio_e: jax.Array     # f32 scalar
+    err_bound: jax.Array    # f32 scalar (0.25)
+
+
+WalkConsts = _register(
+    WalkConsts,
+    [
+        "query", "q_len", "trg", "trg_len", "n_term", "term_f", "term_r",
+        "qcode9", "qcode5", "init_k", "max_overlap",
+        "min_overlap", "min_sa", "max_indel", "max_length", "min_length",
+        "no_term", "freqs", "pacbio_e", "err_bound",
+    ],
+)
+
+
+@dataclass
+class WalkState:
+    # per (gap, leaf)
+    labels: jax.Array        # i8 [G, L, MAXLEN]
+    f_lo: jax.Array          # i32 [G, L]
+    f_hi: jax.Array
+    r_lo: jax.Array
+    r_hi: jax.Array
+    alive: jax.Array         # bool [G, L]
+    kmer_freq: jax.Array     # i32 [G, L] (leafInfo.kmerFrequency)
+    total_kmer: jax.Array    # i32
+    last_seed_idx: jax.Array
+    last_overlap_len: jax.Array
+    total_seeds: jax.Array
+    curr_overlap_len: jax.Array
+    num_errors: jax.Array
+    seed_idx_offset: jax.Array
+    query_overlap_len: jax.Array
+    redeem: jax.Array        # err_dtype
+    res_first: jax.Array     # i32 (resultindex.first, -1 none)
+    res_second: jax.Array    # i32
+    tail_letter: jax.Array   # i8
+    tail_count: jax.Array    # i32
+    tail9: jax.Array         # i32 packed last-9-chars code per leaf
+    local_err: jax.Array     # err_dtype [G, L]
+    gerr_last: jax.Array     # err_dtype [G, L]
+    ring: jax.Array          # err_dtype [G, L, RING]
+    # per gap
+    active: jax.Array        # bool [G]
+    cur_len: jax.Array       # i32 [G]
+    cur_k: jax.Array         # i32 [G]
+    gerr_n: jax.Array        # i32 [G] global record length
+    code: jax.Array          # i32 [G] 0 active; 1/-1/-2/-3 finished
+    # results
+    res_labels: jax.Array    # i8 [G, RMAX, MAXLEN]
+    res_len: jax.Array       # i32 [G, RMAX]
+    res_err: jax.Array       # err_dtype [G, RMAX]
+    res_i: jax.Array         # i32 [G, RMAX]
+    res_count: jax.Array     # i32 [G]
+    res_overflow: jax.Array  # bool [G]
+
+
+WalkState = _register(
+    WalkState,
+    [
+        "labels", "f_lo", "f_hi", "r_lo", "r_hi", "alive", "kmer_freq",
+        "total_kmer", "last_seed_idx", "last_overlap_len", "total_seeds",
+        "curr_overlap_len", "num_errors", "seed_idx_offset",
+        "query_overlap_len", "redeem", "res_first", "res_second",
+        "tail_letter", "tail_count", "tail9", "local_err", "gerr_last", "ring",
+        "active", "cur_len", "cur_k", "gerr_n", "code",
+        "res_labels", "res_len", "res_err", "res_i", "res_count",
+        "res_overflow",
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# host-side batch construction
+# ---------------------------------------------------------------------------
+
+def build_batch(host_ix, tasks: list[GapTask], cfg: WalkConfig,
+                pacbio_error_rate: float, pb_coverage: int):
+    """Build WalkConsts/WalkState for a batch of gap tasks (host numpy)."""
+    G, L = cfg.G, cfg.L
+    assert len(tasks) <= G
+    ed = cfg.err_dtype
+
+    def zeros(shape, dtype=np.int32):
+        return np.zeros(shape, dtype)
+
+    query = np.full((G, cfg.QMAX), ab.PAD_RANK, np.int8)
+    q_len = zeros(G)
+    trg = np.full((G, cfg.TMAX + cfg.KMAX), ab.PAD_RANK, np.int8)
+    trg_len = zeros(G)
+    n_term = zeros(G)
+    term_f = np.tile(np.array([1, 0], np.int32), (G, cfg.TMAX, 1))
+    term_r = term_f.copy()
+    qcode9 = np.full((G, cfg.QMAX), -1, np.int32)
+    qcode5 = np.full((G, cfg.QMAX), -1, np.int32)
+    init_k = zeros(G); max_overlap = zeros(G); min_overlap = np.full(G, 13, np.int32)
+    min_sa = np.full(G, 3, np.int32); max_indel = zeros(G)
+    max_length = zeros(G); min_length = zeros(G)
+    no_term = np.zeros(G, bool)
+
+    labels = np.full((G, L, cfg.MAXLEN), ab.PAD_RANK, np.int8)
+    f_lo = zeros((G, L)); f_hi = np.full((G, L), -1, np.int32)
+    r_lo = zeros((G, L)); r_hi = np.full((G, L), -1, np.int32)
+    alive = np.zeros((G, L), bool)
+    tail_letter = np.zeros((G, L), np.int8)
+    tail_count = zeros((G, L))
+    tail9 = zeros((G, L))
+    last_seed_idx = zeros((G, L)); total_seeds = zeros((G, L))
+    last_overlap_len = zeros((G, L)); curr_overlap_len = zeros((G, L))
+    query_overlap_len = zeros((G, L))
+    kmer_freq = zeros((G, L))
+    cur_len = zeros(G); cur_k = zeros(G)
+    active = np.zeros(G, bool)
+
+    def windows_intervals(q_enc, k):
+        if len(q_enc) < k:
+            return np.zeros((0, 2), np.int64), np.zeros((0, 2), np.int64)
+        win = np.lib.stride_tricks.sliding_window_view(q_enc, k)
+        flo, fhi = host_ix.rbwt.find_interval(win[:, ::-1])
+        rlo, rhi = host_ix.bwt.find_interval(ab.complement(win)[:, ::-1])
+        return np.stack([flo, fhi], 1), np.stack([rlo, rhi], 1)
+
+    def pack_codes(q_enc, k):
+        """3-bit-packed k-mer code at every query position (-1 where the
+        window leaves the sequence)."""
+        n = len(q_enc) - k + 1
+        out = np.full(cfg.QMAX, -1, np.int32)
+        if n <= 0:
+            return out
+        win = np.lib.stride_tricks.sliding_window_view(q_enc, k).astype(np.int64)
+        code = np.zeros(n, np.int64)
+        for j in range(k):
+            code = (code << 3) | win[:, j]
+        out[:n] = code.astype(np.int32)
+        return out
+
+    for g, t in enumerate(tasks):
+        beginning = t.src[len(t.src) - t.init_k:]
+        q = beginning + t.path + t.trg
+        q_enc = ab.encode(q)
+        assert len(q) <= cfg.QMAX, (len(q), cfg.QMAX)
+        assert len(t.trg) - t.min_overlap + 1 <= cfg.TMAX
+        query[g, : len(q)] = q_enc
+        q_len[g] = len(q)
+        trg_enc = ab.encode(t.trg)
+        trg[g, : len(trg_enc)] = trg_enc
+        trg_len[g] = len(t.trg)
+        init_k[g] = t.init_k
+        max_overlap[g] = t.max_overlap
+        min_overlap[g] = t.min_overlap
+        min_sa[g] = t.min_sa_threshold
+        assert t.max_overlap + 1 <= cfg.KMAX and t.init_k <= cfg.KMAX
+        assert t.min_overlap >= CACHE_K + 2, "chain cache requires minOverlap >= 10" 
+        max_indel[g] = int(t.dis * 0.2) if t.dis > 100 else 20
+        v = 1.2 * (t.dis + 10) + 2 * t.init_k
+        max_length[g] = int(v)
+        v = 0.8 * (t.dis - 20) + 2 * t.init_k
+        if v >= 0:
+            min_length[g] = int(v)
+        else:
+            no_term[g] = True  # size_t wrap: termination never fires
+        assert max_length[g] + 2 <= cfg.MAXLEN, (max_length[g], cfg.MAXLEN)
+
+        # terminal intervals
+        tw_f, tw_r = windows_intervals(trg_enc, t.min_overlap)
+        n = len(tw_f)
+        n_term[g] = n
+        term_f[g, :n] = tw_f
+        term_r[g, :n] = tw_r
+        # idmer / 5-mer packed-code arrays (containment on equal-length
+        # k-mer SA intervals == suffix string equality)
+        qcode9[g] = pack_codes(q_enc, cfg.seed_size)
+        qcode5[g] = pack_codes(q_enc, 5)
+        assert cfg.WSCAN >= 2 * max_indel[g] + cfg.seed_size * 2 + 3
+
+        # root leaf
+        b_enc = ab.encode(beginning)
+        flo, fhi = host_ix.rbwt.find_interval(b_enc[::-1])
+        rlo, rhi = host_ix.bwt.find_interval(ab.complement(b_enc)[::-1])
+        labels[g, 0, : len(b_enc)] = b_enc
+        f_lo[g, 0], f_hi[g, 0] = int(flo), int(fhi)
+        r_lo[g, 0], r_hi[g, 0] = int(rlo), int(rhi)
+        alive[g, 0] = True
+        tail_letter[g, 0] = b_enc[-1]
+        run = 1
+        for c in b_enc[::-1][1:]:
+            if c == b_enc[-1]:
+                run += 1
+            else:
+                break
+        tail_count[g, 0] = run
+        code9 = 0
+        for c in b_enc[-cfg.seed_size:]:
+            code9 = (code9 << 3) | int(c)
+        tail9[g, 0] = code9
+        last_seed_idx[g, 0] = t.init_k - cfg.seed_size
+        total_seeds[g, 0] = t.init_k - cfg.seed_size + 1
+        last_overlap_len[g, 0] = curr_overlap_len[g, 0] = t.init_k
+        query_overlap_len[g, 0] = t.init_k
+        kmer_freq[g, 0] = max(fhi - flo + 1, 0) + max(rhi - rlo + 1, 0)
+        cur_len[g] = t.init_k
+        cur_k[g] = t.init_k
+        active[g] = True
+
+    freqs = np.zeros(101, np.float32)
+    mo = min((t.min_overlap for t in tasks), default=13)
+    for i in range(mo, 101):
+        freqs[i] = ((1 - pacbio_error_rate) ** i) * pb_coverage
+
+    consts = WalkConsts(
+        query=jnp.asarray(query), q_len=jnp.asarray(q_len),
+        trg=jnp.asarray(trg), trg_len=jnp.asarray(trg_len),
+        n_term=jnp.asarray(n_term),
+        term_f=jnp.asarray(term_f), term_r=jnp.asarray(term_r),
+        qcode9=jnp.asarray(qcode9), qcode5=jnp.asarray(qcode5),
+        init_k=jnp.asarray(init_k), max_overlap=jnp.asarray(max_overlap),
+        min_overlap=jnp.asarray(min_overlap), min_sa=jnp.asarray(min_sa),
+        max_indel=jnp.asarray(max_indel), max_length=jnp.asarray(max_length),
+        min_length=jnp.asarray(min_length), no_term=jnp.asarray(no_term),
+        freqs=jnp.asarray(freqs),
+        pacbio_e=jnp.float32(pacbio_error_rate),
+        err_bound=jnp.float32(0.25),
+    )
+    GL = (G, L)
+    state = WalkState(
+        labels=jnp.asarray(labels),
+        f_lo=jnp.asarray(f_lo), f_hi=jnp.asarray(f_hi),
+        r_lo=jnp.asarray(r_lo), r_hi=jnp.asarray(r_hi),
+        alive=jnp.asarray(alive),
+        kmer_freq=jnp.asarray(kmer_freq),
+        total_kmer=jnp.zeros(GL, I32),  # root node never calls addKmerCount
+        last_seed_idx=jnp.asarray(last_seed_idx),
+        last_overlap_len=jnp.asarray(last_overlap_len),
+        total_seeds=jnp.asarray(total_seeds),
+        curr_overlap_len=jnp.asarray(curr_overlap_len),
+        num_errors=jnp.zeros(GL, I32),
+        seed_idx_offset=jnp.zeros(GL, I32),
+        query_overlap_len=jnp.asarray(query_overlap_len),
+        redeem=jnp.zeros(GL, ed),
+        res_first=jnp.full(GL, -1, I32),
+        res_second=jnp.full(GL, -1, I32),
+        tail_letter=jnp.asarray(tail_letter),
+        tail_count=jnp.asarray(tail_count),
+        tail9=jnp.asarray(tail9),
+        local_err=jnp.zeros(GL, ed),
+        gerr_last=jnp.zeros(GL, ed),
+        ring=jnp.zeros((G, L, cfg.RING), ed),
+        active=jnp.asarray(active),
+        cur_len=jnp.asarray(cur_len),
+        cur_k=jnp.asarray(cur_k),
+        gerr_n=jnp.where(jnp.asarray(active), 1, 0).astype(I32),
+        code=jnp.zeros(G, I32),
+        res_labels=jnp.full((G, cfg.RMAX, cfg.MAXLEN), ab.PAD_RANK, jnp.int8),
+        res_len=jnp.zeros((G, cfg.RMAX), I32),
+        res_err=jnp.zeros((G, cfg.RMAX), ed),
+        res_i=jnp.zeros((G, cfg.RMAX), I32),
+        res_count=jnp.zeros(G, I32),
+        res_overflow=jnp.zeros(G, bool),
+    )
+    return consts, state
+
+
+# ---------------------------------------------------------------------------
+# jitted superstep
+# ---------------------------------------------------------------------------
+
+def _comp4(sym):
+    return jnp.where(sym == 0, 0, 5 - sym)
+
+
+def _take_label(labels, pos):
+    """labels [G, L, MAXLEN], pos [G] -> sym [G, L] (clipped gather)."""
+    G, L, M = labels.shape
+    p = jnp.clip(pos, 0, M - 1)[:, None, None]
+    return jnp.take_along_axis(labels, jnp.broadcast_to(p, (G, L, 1)), axis=2)[..., 0]
+
+
+def _suffix_chain_walkconv(fx: FusedFM, labels, cur_len, k, kmax: int,
+                           parent=None, ext_sym=None):
+    """Intervals (walk convention: fwd=reverse-in-RBWT, rvc=revcomp-in-BWT)
+    of label suffixes of per-gap length k.  Chars consumed left-to-right from
+    position cur_len-k (refineSAInterval semantics).  One stacked fused
+    gather per LF iteration."""
+    G = labels.shape[0]
+    X = labels.shape[1] if parent is None else parent.shape[0]
+    # seed with the CACHE_K-mer interval of the suffix window's first chars
+    # (identical values to CACHE_K LF steps; requires k >= CACHE_K, which
+    # holds since k >= minOverlap = 13)
+    code = _pack_label_code(labels, cur_len - k, parent, ext_sym, cur_len)
+    seed = fx.wcache[code]                     # [G, X, 4]
+    st = (seed[..., 0], seed[..., 1], seed[..., 2], seed[..., 3])
+    in_rbwt = jnp.asarray([True, True, False, False])[:, None, None]
+    nloop = kmax - CACHE_K
+
+    def fetch(pos):
+        base = _take_label(labels, pos).astype(I32)
+        if parent is not None:
+            base = base[:, parent]
+            base = jnp.where((pos == cur_len - 1)[:, None], ext_sym, base)
+        return jnp.clip(base, 0, 4)
+
+    def body(t, st):
+        f_lo, f_hi, r_lo, r_hi = st
+        rem = nloop - t
+        sym = fetch(cur_len - rem)
+        csym = _comp4(sym)
+        do_upd = (rem <= k - CACHE_K)[:, None]
+        idx4 = jnp.stack([f_lo - 1, f_hi, r_lo - 1, r_hi])
+        sym4 = jnp.stack([sym, sym, csym, csym])
+        occ4 = occ_fused(fx, sym4, idx4, in_rbwt)
+        u_f_lo = fx.C_rbwt[sym] + occ4[0]
+        u_f_hi = fx.C_rbwt[sym] + occ4[1] - 1
+        u_r_lo = fx.C_bwt[csym] + occ4[2]
+        u_r_hi = fx.C_bwt[csym] + occ4[3] - 1
+        f_lo = jnp.where(do_upd, u_f_lo, f_lo)
+        f_hi = jnp.where(do_upd, u_f_hi, f_hi)
+        r_lo = jnp.where(do_upd, u_r_lo, r_lo)
+        r_hi = jnp.where(do_upd, u_r_hi, r_hi)
+        return f_lo, f_hi, r_lo, r_hi
+
+    return jax.lax.fori_loop(0, nloop, body, st)
+
+
+def _suffix_freq_chain(fx: FusedFM, labels, cur_len, lower, upper, kmax: int,
+                       parent=None, ext_sym=None):
+    """Both-strand frequencies of label suffixes of lengths lower..lower+2
+    (SelectFreqsOfrange chain, BWT-direct convention; freq values only).
+    Returns freq3 [3, G, L] (length lower+i; invalid lengths give 0)."""
+    G = labels.shape[0]
+    X = labels.shape[1] if parent is None else parent.shape[0]
+    zero = jnp.zeros((G, X), I32)
+    st = (zero, zero - 1, zero, zero - 1)
+    freqs = jnp.zeros((3, G, X), I32)
+    in_rbwt = jnp.asarray([False, False, True, True])[:, None, None]
+
+    def fetch(pos):
+        base = _take_label(labels, pos).astype(I32)
+        if parent is not None:
+            base = base[:, parent]
+            base = jnp.where((pos == cur_len - 1)[:, None], ext_sym, base)
+        return jnp.clip(base, 0, 4)
+
+    def body(j, carry):
+        st, freqs = carry
+        f_lo, f_hi, r_lo, r_hi = st
+        sym = fetch(cur_len - 1 - j)
+        csym = _comp4(sym)
+        idx4 = jnp.stack([f_lo - 1, f_hi, r_lo - 1, r_hi])
+        sym4 = jnp.stack([sym, sym, csym, csym])
+        occ4 = occ_fused(fx, sym4, idx4, in_rbwt)
+        first = (j == 0)
+        f_lo = jnp.where(first, fx.C_bwt[sym], fx.C_bwt[sym] + occ4[0])
+        f_hi = jnp.where(first, fx.C_bwt[sym + 1] - 1, fx.C_bwt[sym] + occ4[1] - 1)
+        r_lo = jnp.where(first, fx.C_rbwt[csym], fx.C_rbwt[csym] + occ4[2])
+        r_hi = jnp.where(first, fx.C_rbwt[csym + 1] - 1, fx.C_rbwt[csym] + occ4[3] - 1)
+        st = (f_lo, f_hi, r_lo, r_hi)
+        ln = j + 1  # suffix length represented
+        fv = rank.interval_size(f_lo, f_hi) + rank.interval_size(r_lo, r_hi)
+        for i in range(3):
+            sel = (ln == lower + i) & (lower + i <= upper)
+            freqs = freqs.at[i].set(jnp.where(sel[:, None], fv, freqs[i]))
+        return st, freqs
+
+    _, freqs = jax.lax.fori_loop(0, kmax, body, (st, freqs))
+    return freqs
+
+
+def _select_freqs_of_range(consts, freq3, lower, upper, alive):
+    """SelectFreqsOfrange decision ladder (:281-331): per-gap ReduceSize."""
+    reduce_size = upper
+    decided = jnp.zeros(upper.shape, bool)
+    for i in range(3):
+        ln = lower + i
+        valid = ln <= upper
+        maxf = jnp.max(jnp.where(alive, freq3[i], 0), axis=1)
+        expected = consts.freqs[jnp.clip(ln, 0, 100)].astype(I32)
+        hit = valid & ((maxf - expected) < 5) & ~decided
+        reduce_size = jnp.where(hit, ln, reduce_size)
+        decided = decided | hit
+    return reduce_size
+
+
+def _probe4(ix: IndexSet, f_lo, f_hi, r_lo, r_hi):
+    """4-way ACGT probes (getFMIndexExtensions :686-718) via occ_all.
+    Inputs [G, L]; outputs [G, L, 4] (+ freq)."""
+    f_valid = (f_lo <= f_hi)[..., None]
+    occ_lo = rank.occ_all(ix.rbwt, f_lo - 1)[..., 1:5]
+    occ_hi = rank.occ_all(ix.rbwt, f_hi)[..., 1:5]
+    Cb = ix.rbwt.C[1:5]
+    nf_lo = Cb + occ_lo
+    nf_hi = Cb + occ_hi - 1
+    pf_lo = jnp.where(f_valid, nf_lo, f_lo[..., None])
+    pf_hi = jnp.where(f_valid, nf_hi, f_hi[..., None])
+    # rvc ext for base b uses complement rank 5-b -> reversed slice [4,3,2,1]
+    r_valid = (r_lo <= r_hi)[..., None]
+    rocc_lo = rank.occ_all(ix.bwt, r_lo - 1)[..., 1:5][..., ::-1]
+    rocc_hi = rank.occ_all(ix.bwt, r_hi)[..., 1:5][..., ::-1]
+    Cr = ix.bwt.C[1:5][::-1]
+    nr_lo = Cr + rocc_lo
+    nr_hi = Cr + rocc_hi - 1
+    pr_lo = jnp.where(r_valid, nr_lo, r_lo[..., None])
+    pr_hi = jnp.where(r_valid, nr_hi, r_hi[..., None])
+    freq = rank.interval_size(pf_lo, pf_hi) + rank.interval_size(pr_lo, pr_hi)
+    return pf_lo, pf_hi, pr_lo, pr_hi, freq
+
+
+def _window_codes(qcodes, base, W: int):
+    """Gather per-gap code slab [G, W] starting at (clamped) base, plus the
+    absolute positions [G, W]."""
+    G, Q = qcodes.shape
+    base = jnp.clip(base, 0, Q - W)
+    pos = base[:, None] + jnp.arange(W, dtype=I32)[None, :]
+    slab = jnp.take_along_axis(qcodes, pos, axis=1)
+    return slab, pos
+
+
+def _match5_any(consts, cfg, codes5, valid, cur_len, max_indel):
+    """ismatchedbykmer (:787-821): any query 5-mer equal to the candidate's
+    5-suffix within the per-gap position window.
+
+    codes5 [G, X]; window [max(cur_len - indel, 0), cur_len + indel]."""
+    W = cfg.WSCAN
+    lo = jnp.maximum(cur_len - max_indel, 0)
+    hi = cur_len + max_indel
+    slab, pos = _window_codes(consts.qcode5, lo, W)
+    in_win = (pos >= lo[:, None]) & (pos <= hi[:, None]) & (slab >= 0)
+    hit = (slab[:, None, :] == codes5[:, :, None]) & in_win[:, None, :]
+    return jnp.any(hit, axis=-1) & valid
+
+
+def _seed_support_match(consts, cfg, codes9, valid, start_idx, large_idx,
+                        curr_seed_idx):
+    """isSupportedByNewSeed (:566-635) via 9-suffix code equality.
+
+    codes9/start_idx [G, X]; large_idx/curr_seed_idx [G, X] (broadcast).
+    Tie-break on equal |pos - currSeedIdx|: smaller pos (documented
+    divergence from interval-tree traversal order)."""
+    W = cfg.WSCAN
+    base = curr_seed_idx[:, 0] - W // 2
+    slab, pos = _window_codes(consts.qcode9, base, W)
+    eq = slab[:, None, :] == codes9[:, :, None]
+    in_win = (
+        (pos[:, None, :] >= start_idx[..., None])
+        & (pos[:, None, :] <= large_idx[..., None])
+        & (slab >= 0)[:, None, :]
+    )
+    m = eq & in_win & valid[..., None]
+    found = jnp.any(m, axis=-1)
+    diff = jnp.abs(pos[:, None, :] - curr_seed_idx[..., None])
+    key = jnp.where(m, diff * 2 * W + jnp.arange(W, dtype=I32)[None, None, :],
+                    jnp.int32(1 << 30))
+    best = jnp.argmin(key, axis=-1).astype(I32)  # window slot of the winner
+    clamped_base = jnp.clip(base, 0, consts.qcode9.shape[1] - W)
+    best_pos = clamped_base[:, None] + best
+    return found, best_pos
+
+
+def _cutoff_mask(cfg, consts, freq4, total_cnt, max_freq, match5, tail_count, thresh):
+    """Extension acceptance (getFMIndexExtensions :725-781).
+
+    freq4 [G,X,4], total_cnt/max_freq/tail_count [G,X], match5 [G,X,4],
+    thresh [G] (current min_SA_threshold).  Returns pass mask [G,X,4]."""
+    ed = cfg.err_dtype
+    ratio = freq4.astype(ed) / max_freq[..., None].astype(ed)
+    t = thresh[:, None, None]
+    is_freq_pass = freq4 >= t
+    is_low_cov = total_cnt[..., None] >= t + 2
+    is_repeat = (max_freq > 100)[..., None]
+    is_highly = (max_freq > 150)[..., None]
+    is_lowly = (max_freq > 50)[..., None]
+    cut = jnp.full(freq4.shape, 2.0, ed)
+    cut = jnp.where(is_low_cov, jnp.asarray(0.6, ed), cut)
+    cut = jnp.where(is_freq_pass, jnp.asarray(0.25, ed), cut)
+    cut = jnp.where(match5 & is_lowly, jnp.asarray(0.2, ed), cut)
+    cut = jnp.where(match5 & is_highly, jnp.asarray(0.125, ed), cut)
+    homo = (tail_count >= 3)[..., None]
+    cut = jnp.where(homo & is_repeat, jnp.maximum(cut, jnp.asarray(0.3, ed)),
+                    jnp.where(homo, jnp.maximum(cut, jnp.asarray(0.6, ed)), cut))
+    return ratio >= cut
+
+
+def _leaf_choice(ext_t, ext_t1, alive, local_err, min_err, leaf_cnt):
+    """attempToExtend per-leaf retry ladder (:406-455): use the threshold-T
+    mask; a leaf with no extension retries at T-1 iff it carries the minimum
+    local error rate and it is not the only leaf."""
+    any_t = jnp.any(ext_t, axis=-1)
+    retry_ok = (local_err == min_err[:, None]) & (leaf_cnt[:, None] > 1)
+    use = jnp.where(
+        any_t[..., None], ext_t, jnp.where(retry_ok[..., None], ext_t1, False)
+    )
+    return use & alive[..., None]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["ix", "fused"],
+    meta_fields=[],
+)
+@dataclass(frozen=True)
+class WalkIndex:
+    """Device index bundle for the walk: plain pair + fused table."""
+
+    ix: IndexSet
+    fused: FusedFM
+
+    @staticmethod
+    def build(ix: IndexSet, host_ix) -> "WalkIndex":
+        return WalkIndex(ix=ix, fused=FusedFM.from_index_set(ix, host_ix))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConfig):
+    """One while-iteration of extendOverlap (:155-193) over all gap lanes."""
+    ix = wx.ix
+    fx = wx.fused
+    G, L, C = cfg.G, cfg.L, cfg.CAND
+    ed = cfg.err_dtype
+    s = state
+
+    # ---------- while-condition check on the state left by last step -------
+    n_alive = jnp.sum(s.alive, axis=1).astype(I32)
+    over = s.res_overflow  # reused as >maxLeaves marker? no — separate below
+    cond_ok = (
+        (n_alive > 0)
+        & (n_alive <= cfg.max_leaves)
+        & (s.cur_len <= consts.max_length)
+    )
+    gap_go = s.active & (s.code == 0)
+    newly_done = gap_go & ~cond_ok
+    code = s.code
+    code = jnp.where(newly_done & (s.res_count > 0), 1, code)
+    code = jnp.where(newly_done & (s.res_count == 0) & (n_alive == 0), -1, code)
+    code = jnp.where(
+        newly_done & (s.res_count == 0) & (n_alive > 0)
+        & (s.cur_len > consts.max_length), -2, code)
+    code = jnp.where(newly_done & (code == 0), -3, code)
+    run = gap_go & cond_ok
+
+    # ---------- extendLeaves: optional kmer-size clamp refine --------------
+    need_ref0 = run & (s.cur_k > consts.max_overlap)
+    rf = _suffix_chain_walkconv(fx, s.labels, s.cur_len, consts.max_overlap, cfg.KMAX)
+    sel0 = need_ref0[:, None] & s.alive
+    f_lo = jnp.where(sel0, rf[0], s.f_lo)
+    f_hi = jnp.where(sel0, rf[1], s.f_hi)
+    r_lo = jnp.where(sel0, rf[2], s.r_lo)
+    r_hi = jnp.where(sel0, rf[3], s.r_hi)
+    cur_k0 = jnp.where(need_ref0, consts.max_overlap, s.cur_k)
+
+    # ---------- attempToExtend: erase relatively-bad leaves ----------------
+    big = jnp.asarray(2.0, ed)
+    err_vals = jnp.where(s.alive, s.local_err, big)
+    min_err = jnp.min(err_vals, axis=1)
+    diff = s.local_err - min_err[:, None]
+    erase = s.alive & (
+        ((diff > 0.05) & (s.cur_len[:, None] > cfg.RING // 2))
+        | ((diff > 0.1) & (s.cur_len[:, None] > 15))
+    )
+    alive1 = s.alive & ~erase
+    leaf_cnt = jnp.sum(alive1, axis=1).astype(I32)
+
+    # ---------- attempt at base threshold (level 0) ------------------------
+    # candidate suffix codes (shared by every attempt round — label-derived)
+    b4 = jnp.arange(1, 5, dtype=I32)
+    cand9 = ((s.tail9[..., None] << 3) | b4) & ((1 << 27) - 1)   # [G, L, 4]
+    cand5 = cand9 & ((1 << 15) - 1)
+
+    def attempt(flo, fhi, rlo, rhi, thresh):
+        p = _probe4(ix, flo, fhi, rlo, rhi)
+        pf_lo, pf_hi, pr_lo, pr_hi, freq = p
+        total_cnt = jnp.sum(freq, axis=-1)
+        max_freq = jnp.max(freq, axis=-1)
+        pvalid = (pf_lo <= pf_hi) | (pr_lo <= pr_hi)
+        m5 = _match5_any(
+            consts, cfg, cand5.reshape(G, L * 4), pvalid.reshape(G, L * 4),
+            s.cur_len, consts.max_indel,
+        ).reshape(G, L, 4)
+        mask_t = _cutoff_mask(cfg, consts, freq, total_cnt, max_freq, m5,
+                              s.tail_count, thresh)
+        mask_t1 = _cutoff_mask(cfg, consts, freq, total_cnt, max_freq, m5,
+                               s.tail_count, thresh - 1)
+        ext = _leaf_choice(mask_t, mask_t1, alive1, s.local_err, min_err, leaf_cnt)
+        return p, ext, (mask_t, mask_t1, m5, total_cnt, max_freq)
+
+    p0, extA, aux0 = attempt(f_lo, f_hi, r_lo, r_hi, consts.min_sa)
+    gapA = jnp.any(extA, axis=(1, 2))
+
+    # ---------- level 1 (k reduce) + level 2 (threshold relax) -------------
+    need_l1 = run & ~gapA
+
+    def level12(_):
+        lower = jnp.maximum(cur_k0 - 2, consts.min_overlap)
+        freq3 = _suffix_freq_chain(fx, s.labels, s.cur_len, lower, cur_k0, cfg.KMAX)
+        reduce_size = _select_freqs_of_range(consts, freq3, lower, cur_k0, alive1)
+        rf1 = _suffix_chain_walkconv(fx, s.labels, s.cur_len, reduce_size, cfg.KMAX)
+        p1, extB, aux1 = attempt(rf1[0], rf1[1], rf1[2], rf1[3], consts.min_sa)
+        # level 2: threshold-1 attempt on the refined intervals
+        mask_t1, m5 = aux1[1], aux1[2]
+        total_cnt, max_freq = aux1[3], aux1[4]
+        mask_t2 = _cutoff_mask(cfg, consts, p1[4], total_cnt, max_freq, m5,
+                               s.tail_count, consts.min_sa - 2)
+        extC = _leaf_choice(mask_t1, mask_t2, alive1, s.local_err, min_err, leaf_cnt)
+        return reduce_size, rf1, p1, extB, extC
+
+    def no_level12(_):
+        z = jnp.zeros((G, L), I32)
+        zb = jnp.zeros((G, L, 4), bool)
+        zp = (jnp.zeros((G, L, 4), I32),) * 4 + (jnp.zeros((G, L, 4), I32),)
+        return cur_k0, (z, z - 1, z, z - 1), zp, zb, zb
+
+    reduce_size, rf1, p1, extB, extC = jax.lax.cond(
+        jnp.any(need_l1), level12, no_level12, operand=None
+    )
+    gapB = jnp.any(extB, axis=(1, 2)) & need_l1
+    gapC = jnp.any(extC, axis=(1, 2)) & need_l1 & ~gapB
+
+    use_l1 = need_l1 & (gapB | gapC)
+    ext = jnp.where(
+        gapA[:, None, None], extA,
+        jnp.where(gapB[:, None, None], extB,
+                  jnp.where(gapC[:, None, None], extC, False)),
+    )
+    sel_l1 = use_l1[:, None, None]
+    c_f_lo = jnp.where(sel_l1, p1[0], p0[0]).reshape(G, C)
+    c_f_hi = jnp.where(sel_l1, p1[1], p0[1]).reshape(G, C)
+    c_r_lo = jnp.where(sel_l1, p1[2], p0[2]).reshape(G, C)
+    c_r_hi = jnp.where(sel_l1, p1[3], p0[3]).reshape(G, C)
+    c_freq = jnp.where(sel_l1, p1[4], p0[4]).reshape(G, C)
+    cand = ext.reshape(G, C) & run[:, None]
+    success = jnp.any(cand, axis=1)
+    cur_k_base = jnp.where(use_l1, reduce_size, cur_k0)
+
+    # ---------- materialise candidates -------------------------------------
+    parent = jnp.arange(C, dtype=I32) // 4
+    echar = (jnp.arange(C, dtype=I32) % 4 + 1).astype(jnp.int8)
+
+    def par(x):
+        return x[:, parent]
+
+    c_tail9 = ((s.tail9[:, parent] << 3) | echar[None, :].astype(I32)) & ((1 << 27) - 1)
+    c_code9 = cand9.reshape(G, C)
+
+    c_total_kmer = par(s.total_kmer) + c_freq
+    c_curr_ovl = par(s.curr_overlap_len) + 1
+    c_query_ovl = par(s.query_overlap_len) + 1
+    same_tail = par(s.tail_letter) == echar[None, :]
+    c_tail_cnt = jnp.where(same_tail, par(s.tail_count) + 1, 1)
+    c_tail_letter = jnp.broadcast_to(echar[None, :], (G, C))
+    c_last_seed = par(s.last_seed_idx)
+    c_last_ovl = par(s.last_overlap_len)
+    c_total_seeds = par(s.total_seeds)
+    c_num_err = par(s.num_errors)
+    c_sio = par(s.seed_idx_offset)
+    c_redeem = par(s.redeem)
+    c_res_first = par(s.res_first)
+    c_res_second = par(s.res_second)
+    c_ring = s.ring[:, parent, :]
+
+    cur_len_new = jnp.where(success, s.cur_len + 1, s.cur_len)
+    cur_k_new = jnp.where(success, cur_k_base + 1, cur_k_base)
+
+    # ---------- isInsufficientFreqs -> reduce + refine candidates ----------
+    hft = jnp.where(consts.freqs[0] < 0, 3, 3)  # placeholder, overwritten below
+    # high-frequency threshold: PBcoverage>60 ? (cov/60)*3 : 3 — carried via
+    # consts.min_sa which has the same formula (PacBioSelfCorrection.cpp:175)
+    hft = consts.min_sa[:, None]
+    high_cnt = jnp.sum(cand & (c_freq > hft), axis=1)
+    n_new = jnp.sum(cand, axis=1).astype(I32)
+    insuff = (
+        (high_cnt == 0)
+        | ((high_cnt <= 2) & (n_new >= 5))
+        | ((high_cnt <= 1) & (n_new >= 3))
+    )
+    need_post = run & success & insuff
+
+    def post_reduce(_):
+        lower = jnp.maximum(cur_k_new - 2, consts.min_overlap)
+        freq3 = _suffix_freq_chain(
+            fx, s.labels, cur_len_new, lower, cur_k_new, cfg.KMAX,
+            parent=parent, ext_sym=echar.astype(I32)[None, :],
+        )
+        rsize = _select_freqs_of_range(consts, freq3, lower, cur_k_new, cand)
+        rf2 = _suffix_chain_walkconv(
+            fx, s.labels, cur_len_new, rsize, cfg.KMAX,
+            parent=parent, ext_sym=echar.astype(I32)[None, :],
+        )
+        return rsize, rf2
+
+    def no_post(_):
+        z = jnp.zeros((G, C), I32)
+        return cur_k_new, (z, z - 1, z, z - 1)
+
+    rsize2, rf2 = jax.lax.cond(jnp.any(need_post), post_reduce, no_post, operand=None)
+    selp = need_post[:, None]
+    c_f_lo = jnp.where(selp, rf2[0], c_f_lo)
+    c_f_hi = jnp.where(selp, rf2[1], c_f_hi)
+    c_r_lo = jnp.where(selp, rf2[2], c_r_lo)
+    c_r_hi = jnp.where(selp, rf2[3], c_r_hi)
+    cur_k_new = jnp.where(need_post, rsize2, cur_k_new)
+
+    # ---------- PrunedBySeedSupport ----------------------------------------
+    curr_seed_idx = cur_len_new - cfg.seed_size
+    indel_off = cfg.seed_size + consts.max_indel
+    small_idx = jnp.where(curr_seed_idx <= indel_off, 0, curr_seed_idx - indel_off)
+    q_top = consts.q_len - cfg.seed_size
+    large_idx = jnp.minimum(curr_seed_idx + indel_off, q_top)
+
+    gap_len = cur_len_new[:, None] - c_last_ovl
+    do_match = cand & ((gap_len > cfg.seed_size) | (gap_len <= 1))
+    sio_q = jnp.where(
+        c_last_ovl < cur_len_new[:, None] - cfg.seed_size,
+        cfg.seed_size, cur_len_new[:, None] - c_last_ovl,
+    )
+    start_idx = jnp.maximum(small_idx[:, None], c_last_seed + sio_q)
+    c_valid = (c_f_lo <= c_f_hi) | (c_r_lo <= c_r_hi)
+    found, best_pos = _seed_support_match(
+        consts, cfg, c_code9, c_valid,
+        start_idx, jnp.broadcast_to(large_idx[:, None], (G, C)),
+        jnp.broadcast_to(curr_seed_idx[:, None], (G, C)),
+    )
+    found = found & do_match
+    miss = do_match & ~found
+
+    v_found = curr_seed_idx[:, None] + c_sio - c_last_seed
+    c_redeem = c_redeem + jnp.where(
+        found & (v_found > cfg.seed_size),
+        jnp.asarray(cfg.seed_size - 1, ed) * consts.pacbio_e.astype(ed), 0,
+    )
+    v_miss = curr_seed_idx[:, None] + c_sio - c_last_seed
+    c_num_err = c_num_err + jnp.where(miss & (v_miss % cfg.seed_size == 1), 1, 0)
+    c_redeem = c_redeem + jnp.where(
+        miss & (v_miss % cfg.seed_size != 1) & (v_miss > cfg.seed_size - 1),
+        1 - consts.pacbio_e.astype(ed), 0,
+    )
+    c_redeem = c_redeem + jnp.where(
+        cand & ~do_match, 1 - consts.pacbio_e.astype(ed), 0
+    )
+    c_sio = jnp.where(found, best_pos - curr_seed_idx[:, None], c_sio)
+    c_last_seed = jnp.where(found, best_pos, c_last_seed)
+    c_query_ovl = jnp.where(found, best_pos + cfg.seed_size, c_query_ovl)
+    c_last_ovl = jnp.where(found, cur_len_new[:, None], c_last_ovl)
+    c_curr_ovl = jnp.where(found, cur_len_new[:, None], c_curr_ovl)
+    c_total_seeds = c_total_seeds + found.astype(I32)
+
+    # computeErrorRate (:638-664)
+    matched = (
+        c_total_seeds.astype(ed) + jnp.asarray(cfg.seed_size - 1, ed) + c_redeem
+    )
+    total = c_curr_ovl.astype(ed)
+    gerr = (total - matched) / total
+    n_app = s.gerr_n + 1
+    slot_w = (n_app - 1) % cfg.RING
+    slot_r = n_app % cfg.RING
+    old = jnp.take_along_axis(
+        c_ring, jnp.broadcast_to(slot_r[:, None, None], (G, C, 1)), axis=2
+    )[..., 0]
+    local = jnp.where(
+        n_app[:, None] >= cfg.RING,
+        (gerr * total - old * (total - cfg.RING)) / cfg.RING,
+        gerr,
+    )
+    wpos = jax.lax.broadcasted_iota(I32, (G, C, cfg.RING), 2) == slot_w[:, None, None]
+    c_ring = jnp.where(wpos & cand[..., None], gerr[..., None], c_ring)
+    surv = cand & ~(local > consts.err_bound.astype(ed))
+
+    # ---------- isTerminated (:824-877) ------------------------------------
+    may_term = run & success & ~consts.no_term & (cur_len_new >= consts.min_length)
+    ti = jnp.arange(cfg.TMAX, dtype=I32)
+    startt = jnp.maximum(c_res_second, 0)
+    fv = (c_f_lo <= c_f_hi)[..., None]
+    rv = (c_r_lo <= c_r_hi)[..., None]
+    cont_f = fv & (c_f_lo[..., None] >= consts.term_f[:, None, :, 0]) & (
+        c_f_hi[..., None] <= consts.term_f[:, None, :, 1])
+    cont_r = rv & (c_r_lo[..., None] >= consts.term_r[:, None, :, 0]) & (
+        c_r_hi[..., None] <= consts.term_r[:, None, :, 1])
+    tmask = (
+        (cont_f | cont_r)
+        & (ti[None, None, :] >= startt[..., None])
+        & (ti[None, None, :] < consts.n_term[:, None, None])
+        & surv[..., None] & may_term[:, None, None]
+    )
+    t_found = jnp.any(tmask, axis=-1)
+    imax = jnp.max(jnp.where(tmask, ti[None, None, :], -1), axis=-1)
+
+    is_new_res = t_found & (c_res_first == -1)
+    new_rank = jnp.cumsum(is_new_res.astype(I32), axis=1)
+    slot = jnp.where(
+        is_new_res, s.res_count[:, None] + new_rank - 1,
+        jnp.where(t_found, c_res_first - 1, -1),
+    )
+    res_overflow = s.res_overflow | jnp.any(slot >= cfg.RMAX, axis=1)
+    writer = t_found & (slot >= 0) & (slot < cfg.RMAX)
+    c_res_first = jnp.where(is_new_res, slot + 1, c_res_first)
+    c_res_second = jnp.where(t_found, imax, c_res_second)
+    res_count = s.res_count + jnp.sum(is_new_res, axis=1).astype(I32)
+
+    # last-writer-wins gather into result slots
+    ci = jnp.arange(C, dtype=I32)
+    src = jnp.max(
+        jnp.where(
+            writer[:, :, None] & (slot[:, :, None] == jnp.arange(cfg.RMAX)[None, None, :]),
+            ci[None, :, None], -1,
+        ),
+        axis=1,
+    )  # [G, RMAX]
+    has_src = src >= 0
+    srcc = jnp.clip(src, 0, C - 1)
+    g_take = lambda arr: jnp.take_along_axis(arr, srcc, axis=1)
+    # rebuild writer labels: parent label + extension char at cur_len-1
+    src_parent = parent[srcc]
+    src_char = (srcc % 4 + 1).astype(jnp.int8)
+    src_lab = jnp.take_along_axis(s.labels, src_parent[..., None], axis=1)
+    wpos_l = jax.lax.broadcasted_iota(I32, src_lab.shape, 2) == (
+        cur_len_new[:, None, None] - 1
+    )
+    src_lab = jnp.where(wpos_l, src_char[..., None], src_lab)
+    res_labels = jnp.where(has_src[..., None], src_lab, s.res_labels)
+    res_len = jnp.where(has_src, jnp.broadcast_to(cur_len_new[:, None], src.shape), s.res_len)
+    res_err = jnp.where(has_src, g_take(gerr), s.res_err)
+    res_i = jnp.where(has_src, g_take(imax), s.res_i)
+
+    # ---------- compact survivors into leaf slots --------------------------
+    rank_s = jnp.cumsum(surv.astype(I32), axis=1) - 1
+    n_surv = jnp.sum(surv, axis=1).astype(I32)
+    li = jnp.arange(L, dtype=I32)
+    lsrc = jnp.max(
+        jnp.where(
+            (surv & (rank_s < L))[:, :, None] & (rank_s[:, :, None] == li[None, None, :]),
+            ci[None, :, None], -1,
+        ),
+        axis=1,
+    )  # [G, L]
+    has_leaf = lsrc >= 0
+    lsrcc = jnp.clip(lsrc, 0, C - 1)
+    l_take = lambda arr: jnp.take_along_axis(arr, lsrcc, axis=1)
+
+    def upd(old_arr, cand_arr):
+        new = jnp.where(has_leaf, l_take(cand_arr), old_arr)
+        return jnp.where(run[:, None], new, old_arr)
+
+    new_alive = jnp.where(run[:, None], has_leaf, s.alive)
+    leaf_parent = parent[lsrcc]
+    leaf_char = (lsrcc % 4 + 1).astype(jnp.int8)
+    leaf_lab = jnp.take_along_axis(s.labels, leaf_parent[..., None], axis=1)
+    wpos_f = jax.lax.broadcasted_iota(I32, leaf_lab.shape, 2) == (
+        cur_len_new[:, None, None] - 1
+    )
+    leaf_lab = jnp.where(wpos_f & cand.any(axis=1)[:, None, None], leaf_char[..., None], leaf_lab)
+    new_labels = jnp.where(
+        run[:, None, None] & has_leaf[..., None], leaf_lab, s.labels
+    )
+    new_ring = jnp.where(
+        run[:, None, None] & has_leaf[..., None],
+        jnp.take_along_axis(c_ring, lsrcc[..., None], axis=1),
+        s.ring,
+    )
+
+    leaves_over = jnp.where(run, n_surv > cfg.max_leaves, False)
+    # >maxLeaves: the reference's while-condition exit (-3, or 1 if results
+    # were recorded); the check would fire next iteration with unchanged state
+    code = jnp.where(
+        run & leaves_over,
+        jnp.where(res_count > 0, 1, -3),
+        code,
+    )
+    # storage overflow below maxLeaves: semantics need more slots than this
+    # lane config carries — flag for a re-run in the wide config
+    code = jnp.where(
+        run & ~leaves_over & (n_surv > cfg.L), jnp.int32(-200), code
+    )
+
+    return WalkState(
+        labels=new_labels,
+        f_lo=upd(s.f_lo, c_f_lo), f_hi=upd(s.f_hi, c_f_hi),
+        r_lo=upd(s.r_lo, c_r_lo), r_hi=upd(s.r_hi, c_r_hi),
+        alive=new_alive,
+        kmer_freq=upd(s.kmer_freq, c_freq),
+        total_kmer=upd(s.total_kmer, c_total_kmer),
+        last_seed_idx=upd(s.last_seed_idx, c_last_seed),
+        last_overlap_len=upd(s.last_overlap_len, c_last_ovl),
+        total_seeds=upd(s.total_seeds, c_total_seeds),
+        curr_overlap_len=upd(s.curr_overlap_len, c_curr_ovl),
+        num_errors=upd(s.num_errors, c_num_err),
+        seed_idx_offset=upd(s.seed_idx_offset, c_sio),
+        query_overlap_len=upd(s.query_overlap_len, c_query_ovl),
+        redeem=upd(s.redeem, c_redeem),
+        res_first=upd(s.res_first, c_res_first),
+        res_second=upd(s.res_second, c_res_second),
+        tail_letter=upd(s.tail_letter, c_tail_letter),
+        tail_count=upd(s.tail_count, c_tail_cnt),
+        tail9=upd(s.tail9, c_tail9),
+        local_err=upd(s.local_err, local),
+        gerr_last=upd(s.gerr_last, gerr),
+        ring=new_ring,
+        active=s.active,
+        cur_len=jnp.where(run, cur_len_new, s.cur_len),
+        cur_k=jnp.where(run, cur_k_new, s.cur_k),
+        gerr_n=jnp.where(run & success, n_app, s.gerr_n),
+        code=code,
+        res_labels=jnp.where(run[:, None, None], res_labels, s.res_labels),
+        res_len=jnp.where(run[:, None], res_len, s.res_len),
+        res_err=jnp.where(run[:, None], res_err, s.res_err),
+        res_i=jnp.where(run[:, None], res_i, s.res_i),
+        res_count=jnp.where(run, res_count, s.res_count),
+        res_overflow=jnp.where(run, res_overflow, s.res_overflow),
+    )
+
+
+# ---------------------------------------------------------------------------
+# host orchestration
+# ---------------------------------------------------------------------------
+
+def finalize_gap(tasks, consts_np, state_np, g, cfg) -> tuple[int, str]:
+    """findTheBestPath (:214-236) + thread assembly for a finished gap lane."""
+    code = int(state_np["code"][g])
+    if code != 1:
+        return code, ""
+    n = min(int(state_np["res_count"][g]), cfg.RMAX)
+    best_err = 1.0
+    best = None
+    for r in range(n):
+        err = float(state_np["res_err"][g, r])
+        if err < best_err:
+            best_err = err
+            best = r
+    if best is None:
+        return -4, ""
+    t = tasks[g]
+    lab = state_np["res_labels"][g, best]
+    ln = int(state_np["res_len"][g, best])
+    thread = ab.decode(lab[:ln])
+    i = int(state_np["res_i"][g, best])
+    if len(t.trg) > t.min_overlap:
+        thread += t.trg[i + t.min_overlap:]
+    return 1, thread
+
+
+@partial(jax.jit, static_argnames=("cfg", "n"))
+def multistep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConfig, n: int):
+    """n supersteps in one dispatch (keeps the host out of the loop)."""
+    return jax.lax.fori_loop(
+        0, n, lambda _, st: superstep(wx, consts, st, cfg), state
+    )
+
+
+def run_gap_batch(host_ix, dev_ix, tasks, cfg: WalkConfig,
+                  pacbio_error_rate: float, pb_coverage: int,
+                  max_steps: int = 4096, check_every: int = 32):
+    """Run a batch of GapTasks on the device engine to completion.
+
+    Returns list of (code, merged_seq) aligned with tasks.  Gaps whose result
+    buffer overflowed are replayed on the host engine by the caller (flag code
+    -100)."""
+    wx = dev_ix if isinstance(dev_ix, WalkIndex) else WalkIndex.build(dev_ix, host_ix)
+    consts, state = build_batch(host_ix, tasks, cfg, pacbio_error_rate, pb_coverage)
+    steps = 0
+    while steps < max_steps:
+        state = multistep(wx, consts, state, cfg, check_every)
+        steps += check_every
+        code = np.asarray(state.code)
+        active = np.asarray(state.active)
+        if not np.any(active[: len(tasks)] & (code[: len(tasks)] == 0)):
+            break
+    state_np = {
+        "code": np.asarray(state.code),
+        "res_count": np.asarray(state.res_count),
+        "res_err": np.asarray(state.res_err),
+        "res_labels": np.asarray(state.res_labels),
+        "res_len": np.asarray(state.res_len),
+        "res_i": np.asarray(state.res_i),
+        "res_overflow": np.asarray(state.res_overflow),
+    }
+    out = []
+    retry = []
+    for g, t in enumerate(tasks):
+        if state_np["res_overflow"][g]:
+            out.append((-100, ""))  # host replay requested
+            continue
+        c = int(state_np["code"][g])
+        if c == 0:
+            out.append((-100, ""))  # did not converge in max_steps
+            continue
+        if c == -200:
+            out.append(None)
+            retry.append(g)
+            continue
+        out.append(finalize_gap(tasks, None, state_np, g, cfg))
+    if retry:
+        if cfg.L >= cfg.max_leaves:
+            for g in retry:
+                out[g] = (-100, "")
+        else:
+            from dataclasses import replace as _rep
+            wide = _rep(cfg, L=cfg.max_leaves, CAND=4 * cfg.max_leaves,
+                        G=max(16, min(cfg.G, len(retry))))
+            sub = [tasks[g] for g in retry]
+            for base in range(0, len(sub), wide.G):
+                chunk = sub[base : base + wide.G]
+                res = run_gap_batch(host_ix, dev_ix, chunk, wide,
+                                    pacbio_error_rate, pb_coverage,
+                                    max_steps, check_every)
+                for j, r in enumerate(res):
+                    out[retry[base + j]] = r
+    return out
