@@ -18,7 +18,11 @@ from . import seeds as seedmod
 from .correct import CorrectionParams, CorrectionResult, SelfCorrector
 from .extend import HostExtendEngine
 from .seeds import Seed
-from ..ops import walk
+from ..ops import scan, walk
+
+
+class _PrefetchMiss(Exception):
+    """Abort a read's replay: a gap needs a device round first."""
 
 
 class BatchedSelfCorrector(SelfCorrector):
@@ -77,12 +81,44 @@ class BatchedSelfCorrector(SelfCorrector):
         return True
 
     # ------------------------------------------------------------------
+    def _device_seed_tables(self, items):
+        """Per-position (k, pos) freq/valid tables for all reads, on device."""
+        import jax.numpy as jnp
+
+        max_k = self.probe_params.kmer_len_up_bound + 1
+        # fixed shape buckets so the scan kernel compiles once
+        R = 32 * ((len(items) + 31) // 32)
+        L = max(len(seq) for _, seq in items)
+        L = 512 * ((L + 511) // 512)
+        mat = np.full((R, L), ab.PAD_RANK, np.int8)
+        lens = np.zeros(R, np.int32)
+        for i, (_, seq) in enumerate(items):
+            e = ab.encode(seq)
+            mat[i, : len(e)] = e
+            lens[i] = len(e)
+        freq, valid = scan.kmer_table_full(
+            self.wx.ix, jnp.asarray(mat), jnp.asarray(lens), max_k
+        )
+        return np.asarray(freq), np.asarray(valid), lens
+
     def process_batch(self, items: list[tuple[str, str]]) -> list[CorrectionResult]:
         """Correct a batch of (read_id, sequence) reads."""
+        import os, sys, time as _time
+        _dbg = os.environ.get("LRSC_DEBUG_TIMING")
+        _t0 = _time.time()
+        freq_all, valid_all, lens = self._device_seed_tables(items)
+        if _dbg: print(f"[timing] seed tables: {_time.time()-_t0:.1f}s", file=sys.stderr, flush=True)
+        _t0 = _time.time()
         per_read = []
-        for rid, seq in items:
-            seeds = seedmod.search_seeds(seq, self.ix, self.probe_params, self.thresh)
+        for i, (rid, seq) in enumerate(items):
+            ln = int(lens[i])
+            seeds = seedmod.search_seeds(
+                seq, self.ix, self.probe_params, self.thresh,
+                freq_table=freq_all[:, i, :ln], valid_table=valid_all[:, i, :ln],
+            )
             per_read.append((rid, seq, seeds))
+        if _dbg: print(f"[timing] seed scan: {_time.time()-_t0:.1f}s", file=sys.stderr, flush=True)
+        _t0 = _time.time()
 
         # optimistic prefetch: every consecutive seed pair of every read
         tasks, keys = [], []
@@ -101,6 +137,56 @@ class BatchedSelfCorrector(SelfCorrector):
                 keys.append((src, path, trg, interval, ek))
 
         self._prefetch = {}
+        self._run_tasks(tasks, keys)
+        if _dbg: print(f"[timing] device walks ({len(tasks)} gaps): {_time.time()-_t0:.1f}s", file=sys.stderr, flush=True)
+        _t0 = _time.time()
+
+        # replay per read; gaps whose inputs drifted are collected and solved
+        # in further device rounds rather than one-by-one on the host
+        out = [None] * len(per_read)
+        pending = list(range(len(per_read)))
+        for round_i in range(4):
+            self._misses = [] if round_i < 3 else None  # last round: host solve
+            still = []
+            for ri in pending:
+                rid, seq, seeds = per_read[ri]
+                result = CorrectionResult(read_id=rid)
+                result.total_seed_num = len(seeds)
+                try:
+                    pieces = self._init_correct(seq, seeds, result)
+                except _PrefetchMiss:
+                    still.append(ri)  # retried after the next device round
+                    continue
+                result.merge = bool(pieces)
+                result.total_reads_len = len(seq)
+                result.corrected_strs = [p.seed_str for p in pieces]
+                out[ri] = result
+            if not still:
+                break
+            miss_tasks, miss_keys = [], []
+            seen = set()
+            for t, k in self._misses:
+                if k not in seen:
+                    seen.add(k)
+                    miss_tasks.append(t)
+                    miss_keys.append(k)
+            if len(miss_tasks) < 16:
+                # a device round costs more than a few host walks
+                for t, k in zip(miss_tasks, miss_keys):
+                    eng = HostExtendEngine(
+                        self.ix, t.src, t.path, t.trg, t.dis, t.init_k,
+                        t.max_overlap, self.fm_params, t.min_sa_threshold,
+                    )
+                    code, wres = eng.extend()
+                    self._prefetch[k] = (code, wres.merged_seq)
+            else:
+                self._run_tasks(miss_tasks, miss_keys)
+            pending = still
+        if _dbg: print(f"[timing] replay+retries: {_time.time()-_t0:.1f}s", file=sys.stderr, flush=True)
+        self._misses = None
+        return out
+
+    def _run_tasks(self, tasks, keys):
         for base in range(0, len(tasks), self.cfg.G):
             chunk = tasks[base : base + self.cfg.G]
             res = walk.run_gap_batch(
@@ -109,17 +195,6 @@ class BatchedSelfCorrector(SelfCorrector):
             )
             for key, r in zip(keys[base : base + self.cfg.G], res):
                 self._prefetch[key] = r
-
-        out = []
-        for rid, seq, seeds in per_read:
-            result = CorrectionResult(read_id=rid)
-            result.total_seed_num = len(seeds)
-            pieces = self._init_correct(seq, seeds, result)
-            result.merge = bool(pieces)
-            result.total_reads_len = len(seq)
-            result.corrected_strs = [p.seed_str for p in pieces]
-            out.append(result)
-        return out
 
     # ------------------------------------------------------------------
     def _correct_by_fm_extension(self, source: Seed, target: Seed, read_seq: str,
@@ -130,11 +205,21 @@ class BatchedSelfCorrector(SelfCorrector):
         if hit is not None and hit[0] != -100:
             self.stats["prefetch_hit"] += 1
             code, merged = hit
+        elif (
+            getattr(self, "_misses", None) is not None
+            and hit is None
+            and self._task_fits(src, path, trg, interval, ek)
+        ):
+            # collect for the next device round; the read's replay restarts
+            self._misses.append((walk.GapTask(
+                src=src, path=path, trg=trg, dis=interval, init_k=ek,
+                max_overlap=ek + 2, min_overlap=self.params.min_kmer_len,
+                min_sa_threshold=min_sa,
+            ), key))
+            self.stats["prefetch_miss"] += 1
+            raise _PrefetchMiss()
         else:
-            if hit is None:
-                self.stats["prefetch_miss"] += 1
-            else:
-                self.stats["host_fallback"] += 1
+            self.stats["host_fallback"] += 1
             engine = HostExtendEngine(
                 self.ix, src, path, trg, interval, ek, ek + 2, self.fm_params, min_sa,
             )

@@ -89,13 +89,24 @@ class Seed:
         self.seed_start_pos = target.seed_start_pos
         self.seed_end_pos = target.seed_end_pos
 
-    def estimate_best_kmer_size(self, ix) -> None:
+    def estimate_best_kmer_size(self, ix, freq_table=None) -> None:
         """estimateBestKmerSize (SeedFeature.cpp:43-78): walk the k size until
-        the boundary-kmer frequency falls inside [cov/4, cov/2]."""
+        the boundary-kmer frequency falls inside [cov/4, cov/2].
+
+        freq_table: optional per-position (k, pos) both-strand frequency
+        table of the READ the seed came from — boundary kmers are read
+        substrings, so their counts are plain lookups
+        (freq_table[k][seed_start] / freq_table[k][seed_end - k + 1])."""
+        self._freq_table = freq_table
         self._modify_kmer_size(ix, True)
         self._modify_kmer_size(ix, False)
+        self._freq_table = None
 
     def _boundary_freq(self, ix, pole: bool, k: int) -> int:
+        ft = getattr(self, "_freq_table", None)
+        if ft is not None:
+            pos = self.seed_start_pos if pole else self.seed_end_pos - k + 1
+            return int(ft[k][pos])
         word = ab.encode(self.seed_str)
         if pole:
             # reverse(seedStr) suffix of len k in the RBWT == both-strand
@@ -296,7 +307,7 @@ def search_seeds(
             if not is_low_complexity(counts, dyn_size):
                 word = ab.decode(read[seed_pos : seed_pos + dyn_size])
                 s = Seed.make(word, seed_pos, max_fixed, is_repeat, static_size, params.pb_coverage)
-                s.estimate_best_kmer_size(ix)
+                s.estimate_best_kmer_size(ix, freq_table)
                 seeds.append(s)
         static_size -= params.offset[dynamic_mode]
         init_pos = next_init + 1

@@ -66,3 +66,32 @@ def kmer_freq_scan(ix: IndexSet, reads: jax.Array, lengths: jax.Array, pool: tup
 def kmer_freq_single(ix: IndexSet, reads: jax.Array, lengths: jax.Array, k: int):
     """Frequencies for one k (convenience wrapper, [R, L])."""
     return kmer_freq_scan(ix, reads, lengths, (k,))[0]
+
+
+@partial(jax.jit, static_argnames=("max_k",))
+def kmer_table_full(ix: IndexSet, reads: jax.Array, lengths: jax.Array, max_k: int):
+    """freq + validity for EVERY k in 1..max_k at every position.
+
+    The device version of HostIndexSet.kmer_freq_table (all intermediate
+    sizes recorded, feeding the dynamic-kmer seed scan).
+    Returns (freq int32 [max_k+1, R, L], valid bool [max_k+1, R, L]).
+    """
+    R, L = reads.shape
+    sym0 = reads.astype(I32)
+    state = rank.init_bi(ix, jnp.clip(sym0, 0, 4))
+    pos = jnp.arange(L, dtype=I32)[None, :]
+    freqs = [jnp.full((R, L), -1, I32)]
+    valids = [jnp.zeros((R, L), bool)]
+    for j in range(1, max_k + 1):
+        fake = pos + j > lengths[:, None]
+        f_lo, f_hi, r_lo, r_hi = state
+        bival = (f_lo <= f_hi) & (r_lo <= r_hi)
+        freqs.append(jnp.where(fake, -1, rank.bi_freq(state)))
+        valids.append(jnp.where(fake, False, bival))
+        if j == max_k:
+            break
+        nxt = jnp.pad(sym0[:, j:], ((0, 0), (0, j)), constant_values=ab.PAD_RANK)
+        live = nxt < 5
+        new_state = rank.extend_bi(ix, state, jnp.clip(nxt, 0, 4))
+        state = tuple(jnp.where(live, n, o) for n, o in zip(new_state, state))
+    return jnp.stack(freqs), jnp.stack(valids)
