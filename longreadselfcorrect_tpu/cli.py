@@ -24,15 +24,20 @@ def cmd_index(args) -> int:
     from .index import build, store
     from .io import fasta
 
-    reads = []
-    for rec in fasta.read_seqs(args.readsfile):
-        reads.append(ab.encode(rec.seq))
-    print(f"Read {len(reads)} sequences", file=sys.stderr)
-    t0 = time.time()
-    fwd, rev = build.build_bwt_pair(reads)
-    print(f"Built BWT/RBWT ({fwd.num_symbols} symbols) in {time.time()-t0:.1f}s",
-          file=sys.stderr)
     prefix = args.prefix or os.path.splitext(args.readsfile)[0]
+    t0 = time.time()
+    if store.fmbuild_path() and not args.pure_python:
+        fwd, rev = store.build_with_fmbuild(args.readsfile, prefix)
+        print(f"fmbuild: BWT/RBWT ({fwd.num_symbols} symbols) in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+    else:
+        reads = []
+        for rec in fasta.read_seqs(args.readsfile):
+            reads.append(ab.encode(rec.seq))
+        print(f"Read {len(reads)} sequences", file=sys.stderr)
+        fwd, rev = build.build_bwt_pair(reads)
+        print(f"Built BWT/RBWT ({fwd.num_symbols} symbols) in {time.time()-t0:.1f}s",
+              file=sys.stderr)
     store.save_native(prefix, fwd, rev)
     if args.ref_format:
         store.save_reference_bwt(prefix + ".bwt", fwd)
@@ -57,6 +62,7 @@ def cmd_pbcorrect(args) -> int:
     from .io import fasta
 
     ix = _load_host_index(args.prefix)
+    use_device = args.engine == "device"
     params = CorrectionParams(
         pb_coverage=args.PBcoverage,
         error_rate=args.error_rate,
@@ -72,7 +78,19 @@ def cmd_pbcorrect(args) -> int:
         split=args.split,
         no_dp=args.nodp,
     )
-    corrector = SelfCorrector(ix, params)
+    if use_device:
+        from .core.batch_correct import BatchedSelfCorrector
+        from .index.fmindex import FMIndex, IndexSet
+        from .index import store
+
+        fwd, rev = store.load_any(args.prefix)
+        dix = IndexSet(
+            bwt=FMIndex.from_symbols(fwd.symbols, fwd.num_strings),
+            rbwt=FMIndex.from_symbols(rev.symbols, rev.num_strings),
+        )
+        corrector = BatchedSelfCorrector(ix, dix, params)
+    else:
+        corrector = SelfCorrector(ix, params)
     os.makedirs(args.output, exist_ok=True)
 
     totals = dict(
@@ -81,11 +99,26 @@ def cmd_pbcorrect(args) -> int:
     )
     t0 = time.time()
     n = 0
+    def result_stream():
+        nonlocal n
+        if use_device:
+            batch = []
+            for rec in fasta.read_seqs(args.readsfile):
+                batch.append((rec.id, rec.seq))
+                if len(batch) == args.batch_reads:
+                    yield from zip(batch, corrector.process_batch(batch))
+                    batch = []
+            if batch:
+                yield from zip(batch, corrector.process_batch(batch))
+        else:
+            for rec in fasta.read_seqs(args.readsfile):
+                yield (rec.id, rec.seq), corrector.process(rec.id, rec.seq)
+
     with open(os.path.join(args.output, "correct.fa"), "w") as fcorrect, open(
         os.path.join(args.output, "discard.fa"), "w"
     ) as fdiscard:
-        for rec in fasta.read_seqs(args.readsfile):
-            result = corrector.process(rec.id, rec.seq)
+        for (rec_id, rec_seq), result in result_stream():
+            rec = type("R", (), {"id": rec_id, "seq": rec_seq})()
             n += 1
             if result.merge:
                 totals["reads_len"] += result.total_reads_len
@@ -179,6 +212,8 @@ def main(argv=None) -> int:
     p.add_argument("-p", "--prefix", default=None)
     p.add_argument("--ref-format", action="store_true",
                    help="also write reference-compatible .bwt/.rbwt binaries")
+    p.add_argument("--pure-python", action="store_true",
+                   help="force the numpy builder even if native/fmbuild exists")
     p.set_defaults(func=cmd_index)
 
     p = sub.add_parser("pbcorrect", help="PacBio self-correction")
@@ -196,6 +231,9 @@ def main(argv=None) -> int:
     p.add_argument("-m", "--mode", type=int, default=None, choices=(0, 1, 2))
     p.add_argument("--split", action="store_true")
     p.add_argument("--nodp", action="store_true")
+    p.add_argument("--engine", choices=("host", "device"), default="host",
+                   help="host: single-thread numpy engine; device: batched TPU engine")
+    p.add_argument("--batch-reads", type=int, default=32)
     p.set_defaults(func=cmd_pbcorrect)
 
     p = sub.add_parser("kmerfreq", help="interactive k-mer frequency probe")

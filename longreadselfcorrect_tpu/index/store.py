@@ -86,8 +86,43 @@ def save_reference_bwt(path: str, bwt: BWTData) -> None:
         fh.write(runs.tobytes())
 
 
+RAW_MAGIC = 0x4253524C  # 'LRSB' — native/fmbuild.cpp raw symbol stream
+
+
+def load_raw(path: str) -> BWTData:
+    """Read a native/fmbuild .bwtraw/.rbwtraw file."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    magic, = struct.unpack_from("<I", data, 0)
+    if magic != RAW_MAGIC:
+        raise ValueError(f"{path}: bad magic {magic:#x}")
+    ns, nsym = struct.unpack_from("<QQ", data, 4)
+    symbols = np.frombuffer(data, dtype=np.int8, offset=20, count=nsym)
+    return BWTData(symbols=symbols, num_strings=int(ns), num_symbols=int(nsym))
+
+
+def fmbuild_path() -> str | None:
+    """Locate the compiled native builder (built via native/Makefile)."""
+    import os
+
+    p = os.path.join(os.path.dirname(__file__), "..", "..", "native", "fmbuild")
+    p = os.path.abspath(p)
+    return p if os.path.exists(p) else None
+
+
+def build_with_fmbuild(reads_file: str, prefix: str) -> tuple[BWTData, BWTData]:
+    """Run the native SA-IS builder on a FASTA/FASTQ file."""
+    import subprocess
+
+    exe = fmbuild_path()
+    if exe is None:
+        raise FileNotFoundError("native/fmbuild not built (run make -C native)")
+    subprocess.run([exe, reads_file, prefix], check=True)
+    return load_raw(prefix + ".bwtraw"), load_raw(prefix + ".rbwtraw")
+
+
 def load_any(path_prefix: str):
-    """Load {bwt, rbwt} pair: native .npz if present, else reference binaries."""
+    """Load {bwt, rbwt}: native .npz, fmbuild .bwtraw, or reference binaries."""
     import os
 
     if os.path.exists(path_prefix + NATIVE_SUFFIX):
@@ -95,6 +130,8 @@ def load_any(path_prefix: str):
             load_native(path_prefix + NATIVE_SUFFIX),
             load_native(path_prefix + RNATIVE_SUFFIX),
         )
+    if os.path.exists(path_prefix + ".bwtraw"):
+        return load_raw(path_prefix + ".bwtraw"), load_raw(path_prefix + ".rbwtraw")
     return (
         load_reference_bwt(path_prefix + ".bwt"),
         load_reference_bwt(path_prefix + ".rbwt"),
