@@ -1,0 +1,106 @@
+"""Short-read pipeline pieces: preprocess, kmer correction, PE merge/validate."""
+import random
+
+import numpy as np
+import pytest
+
+from longreadselfcorrect_tpu.core import alphabet as ab
+from longreadselfcorrect_tpu.core import preprocess as pp
+from longreadselfcorrect_tpu.core.kmer_correct import KmerCorrectParams, kmer_correct
+from longreadselfcorrect_tpu.core.pe_merge import merge_pair, validate_read
+from longreadselfcorrect_tpu.index import build
+from longreadselfcorrect_tpu.index.host import HostFM, HostIndexSet
+
+
+class TestPreprocess:
+    def params(self, **kw):
+        return pp.PreprocessParams(**kw)
+
+    def test_clean_read_passes(self):
+        stats = pp.PreprocessStats()
+        out = pp.process_read("ACGT" * 20, "I" * 80, self.params(), stats, random.Random(1))
+        assert out == ("ACGT" * 20, "I" * 80)
+
+    def test_short_read_dropped(self):
+        stats = pp.PreprocessStats()
+        out = pp.process_read("ACGTACGT", "I" * 8, self.params(), stats, random.Random(1))
+        assert out is None
+
+    def test_quality_soft_clip(self):
+        seq = "ACGT" * 20
+        qual = "I" * 60 + "#" * 20  # low-quality tail
+        stats = pp.PreprocessStats()
+        out = pp.process_read(seq, qual, self.params(quality_trim=20), stats, random.Random(1))
+        assert out is not None
+        assert len(out[0]) == 60
+
+    def test_dust_filters_low_complexity(self):
+        stats = pp.PreprocessStats()
+        out = pp.process_read("A" * 80, "", self.params(dust=True), stats, random.Random(1))
+        assert out is None
+        assert stats.failed_dust == 1
+
+    def test_ambiguity_resolved(self):
+        stats = pp.PreprocessStats()
+        out = pp.process_read("ACGTN" * 10 + "ACGTACGTAC", "",
+                              self.params(), stats, random.Random(1))
+        assert out is not None
+        assert "N" not in out[0]
+
+
+@pytest.fixture(scope="module")
+def sr_corpus():
+    rng = np.random.default_rng(123)
+    genome = "".join(rng.choice(list("ACGT"), size=20000))
+    reads = []
+    for i in range(4000):  # ~20x coverage of 100bp reads
+        p = int(rng.integers(0, len(genome) - 100))
+        r = genome[p : p + 100]
+        reads.append(ab.revcomp_str(r) if i % 2 else r)
+    enc = [ab.encode(r) for r in reads]
+    fwd, rev = build.build_bwt_pair(enc)
+    ix = HostIndexSet(HostFM(fwd.symbols, fwd.num_strings), HostFM(rev.symbols, rev.num_strings))
+    return genome, reads, ix, rng
+
+
+class TestKmerCorrect:
+    def test_single_error_corrected(self, sr_corpus):
+        genome, reads, ix, rng = sr_corpus
+        truth = genome[5000:5100]
+        noisy = truth[:50] + "ACGT"[("ACGT".index(truth[50]) + 1) % 4] + truth[51:]
+        out, qc = kmer_correct(ix, noisy, "", KmerCorrectParams(kmer_length=21))
+        assert qc
+        assert out == truth
+
+    def test_clean_read_untouched(self, sr_corpus):
+        genome, reads, ix, rng = sr_corpus
+        truth = genome[8000:8100]
+        out, qc = kmer_correct(ix, truth, "", KmerCorrectParams(kmer_length=21))
+        assert qc
+        assert out == truth
+
+
+class TestPEMerge:
+    def test_merge_gap_pair(self, sr_corpus):
+        genome, reads, ix, rng = sr_corpus
+        # fragment of 260bp: read1 = first 100, read2 = last 100 (fwd orientation)
+        frag = genome[3000:3260]
+        r1 = frag[:100]
+        r2_rc = frag[160:260]  # already in read1 orientation
+        code, merged = merge_pair(ix, r1, r2_rc, min_overlap=31, max_overlap=61,
+                                  max_insert=400, sa_threshold=3)
+        assert code == 1
+        assert merged == frag
+
+    def test_validate_good_read(self, sr_corpus):
+        genome, reads, ix, rng = sr_corpus
+        code, out = validate_read(ix, genome[6000:6200], min_overlap=31, sa_threshold=3)
+        assert code == 1
+        assert out == genome[6000:6200]
+
+    def test_validate_bad_read_fails(self, sr_corpus):
+        genome, reads, ix, rng = sr_corpus
+        bad = genome[6000:6100] + "T" + genome[6101:6200]
+        bad = genome[6000:6090] + ab.revcomp_str(genome[9000:9110])  # chimera
+        code, out = validate_read(ix, bad, min_overlap=31, sa_threshold=3)
+        assert code != 1 or out != bad
