@@ -2,12 +2,16 @@
 
 Subcommand surface mirrors StriDe/StriDe.cpp:38-121; implemented so far:
 
-  index      build BWT/RBWT of a read set       (StriDe/index.cpp)
-  pbcorrect  PacBio self-correction             (StriDe/PacBioSelfCorrection.cpp)
-  kmerfreq   interactive k-mer frequency probe  (StriDe/kmerfreq.cpp)
+  preprocess  quality filter/trim reads           (StriDe/preprocess.cpp)
+  index       build BWT/RBWT of a read set        (StriDe/index.cpp)
+  correct     short-read error correction (kmer)  (StriDe/correct.cpp)
+  fmwalk      PE merge / validate walks           (StriDe/FMIndexWalk.cpp)
+  filter      k-mer QC filtering                  (StriDe/filter.cpp)
+  pbcorrect   PacBio self-correction              (StriDe/PacBioSelfCorrection.cpp)
+  kmerfreq    interactive k-mer frequency probe   (StriDe/kmerfreq.cpp)
 
-Remaining subcommands (preprocess, correct, fmwalk, filter, overlap, assemble,
-asmlong, pbhc, ...) land as their engines are built.
+Remaining subcommands (pbhc, overlap, assemble, asmlong, grep, oview,
+subgraph, merge, kmercheck) land as their engines are built.
 """
 from __future__ import annotations
 
@@ -203,6 +207,120 @@ def cmd_kmerfreq(args) -> int:
     return 0
 
 
+def cmd_preprocess(args) -> int:
+    import random
+
+    from .core import preprocess as pp
+    from .io import fasta
+
+    params = pp.PreprocessParams(
+        quality_trim=args.quality_trim,
+        hard_clip=args.hard_clip,
+        min_length=args.min_length,
+        quality_filter=args.quality_filter,
+        discard_quality=args.no_quality,
+        dust=args.dust,
+        dust_threshold=args.dust_threshold,
+        phred64=args.phred64,
+    )
+    stats = pp.PreprocessStats()
+    rng = random.Random(0)
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    for rec in fasta.read_seqs(args.readsfile):
+        res = pp.process_read(rec.seq, rec.qual, params, stats, rng)
+        if res is None:
+            continue
+        seq, qual = res
+        if qual:
+            out.write(f"@{rec.id}\n{seq}\n+\n{qual}\n")
+        else:
+            out.write(f">{rec.id}\n{seq}\n")
+    print(
+        f"Reads parsed:\t{stats.reads_read}\nReads kept:\t{stats.reads_kept}\n"
+        f"Bases parsed:\t{stats.bases_read}\nBases kept:\t{stats.bases_kept}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def cmd_correct(args) -> int:
+    from .core.kmer_correct import CorrectionThresholds, KmerCorrectParams, kmer_correct
+    from .io import fasta
+
+    ix = _load_host_index(args.prefix)
+    th = CorrectionThresholds()
+    if args.kmer_threshold is not None:
+        th.set_base_min_support(args.kmer_threshold)
+    params = KmerCorrectParams(
+        kmer_length=args.kmer_size, num_kmer_rounds=args.kmer_rounds, thresholds=th
+    )
+    kept = dropped = 0
+    with open(args.out, "w") as f:
+        for rec in fasta.read_seqs(args.readsfile):
+            seq, qc = kmer_correct(ix, rec.seq, rec.qual, params)
+            if qc:
+                fasta.write_fasta(f, rec.id, seq)
+                kept += 1
+            else:
+                dropped += 1
+    print(f"corrected/kept: {kept}, failed QC: {dropped}", file=sys.stderr)
+    return 0
+
+
+def cmd_fmwalk(args) -> int:
+    from .core.pe_merge import merge_pair, validate_read
+    from .io import fasta
+
+    ix = _load_host_index(args.prefix)
+    recs = list(fasta.read_seqs(args.readsfile))
+    n_ok = n_fail = 0
+    with open(args.out, "w") as f:
+        if args.algorithm == "validate":
+            for rec in recs:
+                code, seq = validate_read(ix, rec.seq, args.min_overlap,
+                                          sa_threshold=args.kmer_threshold)
+                if code == 1:
+                    fasta.write_fasta(f, rec.id, seq)
+                    n_ok += 1
+                else:
+                    n_fail += 1
+        else:  # merge: consecutive pairs, 2nd read reverse-complemented
+            from .core import alphabet as ab
+
+            for i in range(0, len(recs) - 1, 2):
+                r1, r2 = recs[i], recs[i + 1]
+                code, seq = merge_pair(
+                    ix, r1.seq, ab.revcomp_str(r2.seq), args.min_overlap,
+                    args.max_overlap, args.max_insert,
+                    sa_threshold=args.kmer_threshold,
+                )
+                if code == 1:
+                    fasta.write_fasta(f, r1.id + ":merged", seq)
+                    n_ok += 1
+                else:
+                    n_fail += 1
+    print(f"walk success: {n_ok}, failed: {n_fail}", file=sys.stderr)
+    return 0
+
+
+def cmd_filter(args) -> int:
+    from .core.qc import QCParams, kmer_qc
+    from .io import fasta
+
+    ix = _load_host_index(args.prefix)
+    params = QCParams(kmer_length=args.kmer_size, kmer_threshold=args.kmer_threshold)
+    kept = dropped = 0
+    with open(args.out, "w") as f:
+        for rec in fasta.read_seqs(args.readsfile):
+            if kmer_qc(ix, rec.seq, params):
+                fasta.write_fasta(f, rec.id, rec.seq)
+                kept += 1
+            else:
+                dropped += 1
+    print(f"kept: {kept}, filtered: {dropped}", file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="lrsc", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
@@ -235,6 +353,47 @@ def main(argv=None) -> int:
                    help="host: single-thread numpy engine; device: batched TPU engine")
     p.add_argument("--batch-reads", type=int, default=32)
     p.set_defaults(func=cmd_pbcorrect)
+
+    p = sub.add_parser("preprocess", help="quality filter/trim reads")
+    p.add_argument("readsfile")
+    p.add_argument("-o", "--out", default="-")
+    p.add_argument("-q", "--quality-trim", type=int, default=0, dest="quality_trim")
+    p.add_argument("--hard-clip", type=int, default=0, dest="hard_clip")
+    p.add_argument("-m", "--min-length", type=int, default=31, dest="min_length")
+    p.add_argument("-f", "--quality-filter", type=int, default=-1, dest="quality_filter")
+    p.add_argument("--no-quality", action="store_true", dest="no_quality")
+    p.add_argument("--dust", action="store_true")
+    p.add_argument("--dust-threshold", type=float, default=4.0, dest="dust_threshold")
+    p.add_argument("--phred64", action="store_true")
+    p.set_defaults(func=cmd_preprocess)
+
+    p = sub.add_parser("correct", help="short-read kmer error correction")
+    p.add_argument("readsfile")
+    p.add_argument("-p", "--prefix", required=True)
+    p.add_argument("-o", "--out", default="reads.ec.fa")
+    p.add_argument("-k", "--kmer-size", type=int, default=31, dest="kmer_size")
+    p.add_argument("-x", "--kmer-threshold", type=int, default=None, dest="kmer_threshold")
+    p.add_argument("-r", "--kmer-rounds", type=int, default=10, dest="kmer_rounds")
+    p.set_defaults(func=cmd_correct)
+
+    p = sub.add_parser("fmwalk", help="PE-merge / validate FM-index walks")
+    p.add_argument("readsfile")
+    p.add_argument("-p", "--prefix", required=True)
+    p.add_argument("-o", "--out", default="fmwalk.fa")
+    p.add_argument("-a", "--algorithm", choices=("merge", "validate"), default="merge")
+    p.add_argument("-m", "--min-overlap", type=int, default=31, dest="min_overlap")
+    p.add_argument("-M", "--max-overlap", type=int, default=65, dest="max_overlap")
+    p.add_argument("-L", "--max-insert", type=int, default=500, dest="max_insert")
+    p.add_argument("-x", "--kmer-threshold", type=int, default=3, dest="kmer_threshold")
+    p.set_defaults(func=cmd_fmwalk)
+
+    p = sub.add_parser("filter", help="k-mer QC filtering")
+    p.add_argument("readsfile")
+    p.add_argument("-p", "--prefix", required=True)
+    p.add_argument("-o", "--out", default="filter.pass.fa")
+    p.add_argument("-k", "--kmer-size", type=int, default=31, dest="kmer_size")
+    p.add_argument("-x", "--kmer-threshold", type=int, default=3, dest="kmer_threshold")
+    p.set_defaults(func=cmd_filter)
 
     p = sub.add_parser("kmerfreq", help="interactive k-mer frequency probe")
     p.add_argument("-p", "--prefix", required=True)

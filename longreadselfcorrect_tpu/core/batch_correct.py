@@ -187,14 +187,18 @@ class BatchedSelfCorrector(SelfCorrector):
         return out
 
     def _run_tasks(self, tasks, keys):
-        for base in range(0, len(tasks), self.cfg.G):
-            chunk = tasks[base : base + self.cfg.G]
+        # batch tasks by expected walk depth so a chunk's lanes finish
+        # together (the batch runs until its longest gap completes)
+        order = sorted(range(len(tasks)), key=lambda i: tasks[i].dis)
+        for base in range(0, len(order), self.cfg.G):
+            sel = order[base : base + self.cfg.G]
+            chunk = [tasks[i] for i in sel]
             res = walk.run_gap_batch(
                 self.ix, self.wx, chunk, self.cfg,
                 self.params.error_rate, self.params.pb_coverage,
             )
-            for key, r in zip(keys[base : base + self.cfg.G], res):
-                self._prefetch[key] = r
+            for i, r in zip(sel, res):
+                self._prefetch[keys[i]] = r
 
     # ------------------------------------------------------------------
     def _correct_by_fm_extension(self, source: Seed, target: Seed, read_seq: str,

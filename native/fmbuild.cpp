@@ -16,6 +16,7 @@
 #include <cstdio>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 // ---------------------------------------------------------------------------
@@ -221,9 +222,12 @@ int main(int argc, char** argv) {
     }
     fprintf(stderr, "fmbuild: %zu reads\n", rs.seqs.size());
     std::string prefix = argv[2];
-    if (!build_and_write(rs, false, prefix + ".bwtraw")) return 1;
-    fprintf(stderr, "fmbuild: wrote %s.bwtraw\n", prefix.c_str());
-    if (!build_and_write(rs, true, prefix + ".rbwtraw")) return 1;
-    fprintf(stderr, "fmbuild: wrote %s.rbwtraw\n", prefix.c_str());
+    bool ok_f = false, ok_r = false;
+    std::thread tf([&] { ok_f = build_and_write(rs, false, prefix + ".bwtraw"); });
+    std::thread tr([&] { ok_r = build_and_write(rs, true, prefix + ".rbwtraw"); });
+    tf.join();
+    tr.join();
+    if (!ok_f || !ok_r) return 1;
+    fprintf(stderr, "fmbuild: wrote %s.bwtraw + .rbwtraw\n", prefix.c_str());
     return 0;
 }
