@@ -134,7 +134,7 @@ def main():
 
     dev = BatchedSelfCorrector(
         hix, dix, params,
-        cfg=walk.WalkConfig(G=256, MAXLEN=640, QMAX=640, WSCAN=320),
+        cfg=walk.WalkConfig(G=512, MAXLEN=640, QMAX=640, WSCAN=320),
     )
     log("warmup ...")
     dev.process_batch(items[:2])

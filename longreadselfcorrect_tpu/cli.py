@@ -8,10 +8,11 @@ Subcommand surface mirrors StriDe/StriDe.cpp:38-121; implemented so far:
   fmwalk      PE merge / validate walks           (StriDe/FMIndexWalk.cpp)
   filter      k-mer QC filtering                  (StriDe/filter.cpp)
   pbcorrect   PacBio self-correction              (StriDe/PacBioSelfCorrection.cpp)
+  pbhc        PacBio hybrid correction            (StriDe/PacBioHybridCorrection.cpp)
   kmerfreq    interactive k-mer frequency probe   (StriDe/kmerfreq.cpp)
 
-Remaining subcommands (pbhc, overlap, assemble, asmlong, grep, oview,
-subgraph, merge, kmercheck) land as their engines are built.
+Remaining subcommands (overlap, assemble, asmlong, grep, oview, subgraph,
+merge, kmercheck) land as their engines are built.
 """
 from __future__ import annotations
 
@@ -169,6 +170,39 @@ def cmd_pbcorrect(args) -> int:
                 f"{totals['exceed_leave']*100/dp_outcast:g}%"
             )
         print(f"DisBetweenSeeds: {totals['seed_dis']//totals['walk_num']}")
+    return 0
+
+
+def cmd_pbhc(args) -> int:
+    from .core.hybrid import HybridCorrector, HybridParams
+    from .io import fasta
+
+    ix = _load_host_index(args.prefix)
+    params = HybridParams(
+        kmer_length=args.kmer_size,
+        min_kmer_length=args.min_kmer_size,
+        seed_kmer_threshold=args.seed_threshold,
+        max_overlap=args.max_overlap,
+        max_leaves=args.max_leaves,
+        fmw_kmer_threshold=args.fmw_threshold,
+        coverage=args.coverage,
+    )
+    corr = HybridCorrector(ix, params)
+    os.makedirs(args.output, exist_ok=True)
+    n = merged = 0
+    with open(os.path.join(args.output, "correct.fa"), "w") as fc, open(
+        os.path.join(args.output, "discard.fa"), "w"
+    ) as fd:
+        for rec in fasta.read_seqs(args.readsfile):
+            res = corr.correct(rec.id, rec.seq)
+            n += 1
+            if res["merge"]:
+                merged += 1
+                for i, s_ in enumerate(res["corrected_strs"]):
+                    fasta.write_fasta(fc, f"{rec.id}_{i}", s_)
+            else:
+                fasta.write_fasta(fd, rec.id, rec.seq)
+    print(f"reads: {n}, merged: {merged}", file=sys.stderr)
     return 0
 
 
@@ -394,6 +428,19 @@ def main(argv=None) -> int:
     p.add_argument("-k", "--kmer-size", type=int, default=31, dest="kmer_size")
     p.add_argument("-x", "--kmer-threshold", type=int, default=3, dest="kmer_threshold")
     p.set_defaults(func=cmd_filter)
+
+    p = sub.add_parser("pbhc", help="PacBio hybrid correction (short-read index)")
+    p.add_argument("readsfile")
+    p.add_argument("-p", "--prefix", required=True, help="short-read index prefix")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-k", "--kmer-size", type=int, default=31, dest="kmer_size")
+    p.add_argument("-s", "--min-kmer-size", type=int, default=21, dest="min_kmer_size")
+    p.add_argument("-x", "--seed-threshold", type=int, default=30, dest="seed_threshold")
+    p.add_argument("-M", "--max-overlap", type=int, default=81, dest="max_overlap")
+    p.add_argument("-l", "--max-leaves", type=int, default=32, dest="max_leaves")
+    p.add_argument("-y", "--fmw-threshold", type=int, default=3, dest="fmw_threshold")
+    p.add_argument("-c", "--coverage", type=int, default=60)
+    p.set_defaults(func=cmd_pbhc)
 
     p = sub.add_parser("kmerfreq", help="interactive k-mer frequency probe")
     p.add_argument("-p", "--prefix", required=True)

@@ -35,7 +35,7 @@ class BatchedSelfCorrector(SelfCorrector):
             dev_ix if isinstance(dev_ix, walk.WalkIndex)
             else walk.WalkIndex.build(dev_ix, ix)
         )
-        self.cfg = cfg or walk.WalkConfig(G=256, MAXLEN=768, QMAX=768, WSCAN=320)
+        self.cfg = cfg or walk.WalkConfig(G=512, MAXLEN=768, QMAX=768, WSCAN=320)
         self._prefetch: dict = {}
         self.stats = {"prefetch_hit": 0, "prefetch_miss": 0, "host_fallback": 0}
 
@@ -86,20 +86,32 @@ class BatchedSelfCorrector(SelfCorrector):
         import jax.numpy as jnp
 
         max_k = self.probe_params.kmer_len_up_bound + 1
-        # fixed shape buckets so the scan kernel compiles once
-        R = 32 * ((len(items) + 31) // 32)
+        # fixed shape (R=64 chunks, L in 512 buckets): the scan kernel
+        # compiles once per L bucket regardless of batch size
+        R = 64
         L = max(len(seq) for _, seq in items)
         L = 512 * ((L + 511) // 512)
-        mat = np.full((R, L), ab.PAD_RANK, np.int8)
-        lens = np.zeros(R, np.int32)
-        for i, (_, seq) in enumerate(items):
-            e = ab.encode(seq)
-            mat[i, : len(e)] = e
-            lens[i] = len(e)
-        freq, valid = scan.kmer_table_full(
-            self.wx.ix, jnp.asarray(mat), jnp.asarray(lens), max_k
+        freqs, valids = [], []
+        lens_all = np.zeros(len(items), np.int32)
+        for base in range(0, len(items), R):
+            chunk = items[base : base + R]
+            mat = np.full((R, L), ab.PAD_RANK, np.int8)
+            lens = np.zeros(R, np.int32)
+            for i, (_, seq) in enumerate(chunk):
+                e = ab.encode(seq)
+                mat[i, : len(e)] = e
+                lens[i] = len(e)
+            lens_all[base : base + len(chunk)] = lens[: len(chunk)]
+            freq, valid = scan.kmer_table_full(
+                self.wx.ix, jnp.asarray(mat), jnp.asarray(lens), max_k
+            )
+            freqs.append(np.asarray(freq)[:, : len(chunk)])
+            valids.append(np.asarray(valid)[:, : len(chunk)])
+        return (
+            np.concatenate(freqs, axis=1),
+            np.concatenate(valids, axis=1),
+            lens_all,
         )
-        return np.asarray(freq), np.asarray(valid), lens
 
     def process_batch(self, items: list[tuple[str, str]]) -> list[CorrectionResult]:
         """Correct a batch of (read_id, sequence) reads."""

@@ -58,12 +58,13 @@ class FMIndex:
         padded = np.full(nb * block, ab.PAD_RANK, dtype=np.int8)
         padded[:n] = symbols
         blocks = padded.reshape(nb, block)
-        onehot = np.zeros((nb * block, ab.ALPHABET_SIZE), dtype=np.int64)
-        onehot[np.arange(n), symbols.astype(np.int64)] = 1
-        csum = onehot.reshape(nb, block, ab.ALPHABET_SIZE).sum(axis=1).cumsum(axis=0)
+        per_block = np.empty((nb, ab.ALPHABET_SIZE), dtype=np.int64)
+        for s in range(ab.ALPHABET_SIZE):
+            per_block[:, s] = (blocks == s).sum(axis=1)
+        csum = per_block.cumsum(axis=0)
         ckpt = np.zeros((nb, ab.ALPHABET_SIZE), dtype=np.int32)
         ckpt[1:] = csum[:-1]
-        counts = onehot.sum(axis=0)
+        counts = csum[-1]
         C = np.zeros(ab.ALPHABET_SIZE + 1, dtype=np.int32)
         C[1:] = np.cumsum(counts)
         return FMIndex(

@@ -30,8 +30,9 @@ class HostFM:
         padded = np.full(nb * _BLOCK, ab.PAD_RANK, dtype=np.int8)
         padded[: self.n] = symbols
         self.blocks = padded.reshape(nb, _BLOCK)
-        onehot = padded.reshape(nb, _BLOCK)[..., None] == np.arange(5, dtype=np.int8)
-        sums = onehot.sum(axis=1, dtype=np.int64)
+        sums = np.empty((nb, 5), dtype=np.int64)
+        for s in range(5):
+            sums[:, s] = (self.blocks == s).sum(axis=1)
         self.ckpt = np.zeros((nb + 1, 5), dtype=np.int64)
         self.ckpt[1:] = np.cumsum(sums, axis=0)
         counts = self.ckpt[-1]

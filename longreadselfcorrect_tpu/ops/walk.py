@@ -36,7 +36,7 @@ I32 = jnp.int32
 NEG = jnp.int32(-(1 << 30))
 
 
-CACHE_K = 8  # cached kmer length for chain seeding (BWTIntervalCache analog)
+CACHE_K = 10  # cached kmer length for chain seeding (BWTIntervalCache analog)
 
 
 @partial(
@@ -131,9 +131,9 @@ def _register(cls, data, meta=()):
 @dataclass(frozen=True)
 class WalkConfig:
     G: int = 64            # gap lanes
-    L: int = 12            # leaf storage slots (< maxLeaves: gaps that grow
+    L: int = 8             # leaf storage slots (< maxLeaves: gaps that grow
                            # beyond L but <= maxLeaves are re-run at L=32)
-    CAND: int = 48         # transient candidates (4 * L)
+    CAND: int = 32         # transient candidates (4 * L)
     MAXLEN: int = 512      # label buffer (covers maxLength)
     QMAX: int = 512        # query buffer
     TMAX: int = 48         # terminal-interval slots (trg_len - minOverlap + 1)
@@ -336,7 +336,7 @@ def build_batch(host_ix, tasks: list[GapTask], cfg: WalkConfig,
         min_overlap[g] = t.min_overlap
         min_sa[g] = t.min_sa_threshold
         assert t.max_overlap + 1 <= cfg.KMAX and t.init_k <= cfg.KMAX
-        assert t.min_overlap >= CACHE_K + 2, "chain cache requires minOverlap >= 10" 
+        assert t.min_overlap >= CACHE_K + 2, "chain cache requires minOverlap >= CACHE_K+2" 
         max_indel[g] = int(t.dis * 0.2) if t.dis > 100 else 20
         v = 1.2 * (t.dis + 10) + 2 * t.init_k
         max_length[g] = int(v)
