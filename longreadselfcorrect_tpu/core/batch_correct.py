@@ -36,6 +36,11 @@ class BatchedSelfCorrector(SelfCorrector):
             else walk.WalkIndex.build(dev_ix, ix)
         )
         self.cfg = cfg or walk.WalkConfig(G=512, MAXLEN=768, QMAX=768, WSCAN=320)
+        # wide/long bucket for gaps that exceed the primary config's windows
+        self.cfg_big = walk.WalkConfig(
+            G=128, MAXLEN=1536, QMAX=1536, WSCAN=576, TMAX=self.cfg.TMAX,
+            KMAX=self.cfg.KMAX,
+        )
         self._prefetch: dict = {}
         self.stats = {"prefetch_hit": 0, "prefetch_miss": 0, "host_fallback": 0}
 
@@ -62,8 +67,8 @@ class BatchedSelfCorrector(SelfCorrector):
         min_sa = (self.params.pb_coverage // 60) * 3 if self.params.pb_coverage > 60 else 3
         return src, path, trg, interval, ek, min_sa
 
-    def _task_fits(self, src, path, trg, interval, ek) -> bool:
-        cfg = self.cfg
+    def _task_fits(self, src, path, trg, interval, ek, cfg=None) -> bool:
+        cfg = cfg or self.cfg
         beginning_len = ek
         qlen = beginning_len + len(path) + len(trg)
         if qlen > cfg.QMAX:
@@ -76,7 +81,9 @@ class BatchedSelfCorrector(SelfCorrector):
             return False
         if len(trg) - 13 + 1 > cfg.TMAX or len(trg) < 13:
             return False
-        if ek + 2 + 1 > cfg.KMAX or ek < walk.CACHE_K + 2:
+        # chains only ever run at k >= minOverlap (>= CACHE_K+2); small ek
+        # affects only the host-computed root interval, so any sane ek fits
+        if ek + 2 + 1 > cfg.KMAX or ek < 5:
             return False
         return True
 
@@ -139,7 +146,7 @@ class BatchedSelfCorrector(SelfCorrector):
                 src, path, trg, interval, ek, min_sa = self._plan_gap(
                     seeds[i - 1], seeds[i], seq
                 )
-                if not self._task_fits(src, path, trg, interval, ek):
+                if not self._task_fits(src, path, trg, interval, ek, self.cfg_big):
                     continue
                 tasks.append(walk.GapTask(
                     src=src, path=path, trg=trg, dis=interval, init_k=ek,
@@ -199,18 +206,25 @@ class BatchedSelfCorrector(SelfCorrector):
         return out
 
     def _run_tasks(self, tasks, keys):
-        # batch tasks by expected walk depth so a chunk's lanes finish
-        # together (the batch runs until its longest gap completes)
-        order = sorted(range(len(tasks)), key=lambda i: tasks[i].dis)
-        for base in range(0, len(order), self.cfg.G):
-            sel = order[base : base + self.cfg.G]
-            chunk = [tasks[i] for i in sel]
-            res = walk.run_gap_batch(
-                self.ix, self.wx, chunk, self.cfg,
-                self.params.error_rate, self.params.pb_coverage,
-            )
-            for i, r in zip(sel, res):
-                self._prefetch[keys[i]] = r
+        # route to the primary or the wide/long config; batch by expected
+        # walk depth so a chunk's lanes finish together
+        small, big = [], []
+        for i, t in enumerate(tasks):
+            if self._task_fits(t.src, t.path, t.trg, t.dis, t.init_k):
+                small.append(i)
+            else:
+                big.append(i)
+        for sel_all, cfg in ((small, self.cfg), (big, self.cfg_big)):
+            order = sorted(sel_all, key=lambda i: tasks[i].dis)
+            for base in range(0, len(order), cfg.G):
+                sel = order[base : base + cfg.G]
+                chunk = [tasks[i] for i in sel]
+                res = walk.run_gap_batch(
+                    self.ix, self.wx, chunk, cfg,
+                    self.params.error_rate, self.params.pb_coverage,
+                )
+                for i, r in zip(sel, res):
+                    self._prefetch[keys[i]] = r
 
     # ------------------------------------------------------------------
     def _correct_by_fm_extension(self, source: Seed, target: Seed, read_seq: str,
@@ -224,7 +238,7 @@ class BatchedSelfCorrector(SelfCorrector):
         elif (
             getattr(self, "_misses", None) is not None
             and hit is None
-            and self._task_fits(src, path, trg, interval, ek)
+            and self._task_fits(src, path, trg, interval, ek, self.cfg_big)
         ):
             # collect for the next device round; the read's replay restarts
             self._misses.append((walk.GapTask(
