@@ -157,15 +157,18 @@ def main():
         with open(bench_reads, "w") as f:
             for rid, seq in items:
                 f.write(f">{rid}\n{seq}\n")
-        t0 = time.time()
-        subprocess.run(
-            [stride, "pbcorrect", "-t", "1", "-p", refidx, "-o", refout,
-             "-c", str(COVERAGE), bench_reads],
-            check=True, capture_output=True,
-        )
-        dt_ref = time.time() - t0
+        # run twice; report the warm (page-cache) run for a fair baseline
+        dt_ref = None
+        for _ in range(2):
+            t0 = time.time()
+            subprocess.run(
+                [stride, "pbcorrect", "-t", "1", "-p", refidx, "-o", refout,
+                 "-c", str(COVERAGE), bench_reads],
+                check=True, capture_output=True,
+            )
+            dt_ref = time.time() - t0
         baseline_rps = len(items) / dt_ref
-        log(f"reference binary (1 thread, incl. index load): {len(items)} reads "
+        log(f"reference binary (1 thread, warm): {len(items)} reads "
             f"in {dt_ref:.1f}s -> {baseline_rps:.2f} reads/s")
     else:
         host = SelfCorrector(hix, params)

@@ -142,3 +142,48 @@ class HostIndexSet:
             new_state = self.extend_bi(state, np.where(live, nxt, 1))
             state = tuple(np.where(live, n, o) for n, o in zip(new_state, state))
         return freq, valid
+
+
+def build_lexico_index(fm: HostFM, max_read_len: int = 1 << 20) -> np.ndarray:
+    """lexicographic-rank -> read-id permutation (the reference's .sai,
+    SampledSuffixArray::buildLexicoIndex, SampledSuffixArray.h:44).
+
+    The k-th '$' in BWT row order terminates the read whose full string has
+    lexicographic rank k; walking backward from each sentinel SA row j
+    (which belongs to read j) until its '$' recovers rank(read j).  All
+    num_strings walks advance in lockstep as one batched LF per step.
+    """
+    ns = fm.num_strings
+    rows = np.arange(ns, dtype=np.int64)
+    alive = np.ones(ns, dtype=bool)
+    perm = np.zeros(ns, dtype=np.int64)
+    for _ in range(max_read_len):
+        if not alive.any():
+            break
+        b = fm.symbols[rows].astype(np.int64)
+        hit = alive & (b == 0)
+        if hit.any():
+            perm[fm.occ(np.zeros(hit.sum(), np.int64), rows[hit] - 1)] =                 np.flatnonzero(hit)
+            alive = alive & ~hit
+        step = alive & (b != 0)
+        if step.any():
+            nb = np.where(b == 0, 1, b)
+            nrows = fm.pc(nb) + fm.occ(nb, rows - 1)
+            rows = np.where(step, nrows, rows)
+    return perm
+
+
+def read_id_of(fm: HostFM, row: int) -> tuple[int, int]:
+    """(read_id, offset) of the suffix at SA row `row` (SampledSuffixArray
+    lookup equivalent): LF-walk backward to the read's '$', then map the $'s
+    occ-rank (the read's lexicographic rank) through the lexico index."""
+    if not hasattr(fm, "_lex_to_read"):
+        fm._lex_to_read = build_lexico_index(fm)
+    steps = 0
+    r = row
+    while True:
+        b = int(fm.symbols[r])
+        if b == 0:
+            return int(fm._lex_to_read[int(fm.occ(0, r - 1))]), steps
+        r = int(fm.pc(b)) + int(fm.occ(b, r - 1))
+        steps += 1

@@ -147,3 +147,29 @@ class TestSeeds:
         for s in seeds:
             assert s.size_lower_bound <= s.start_best_kmer_size <= s.size_upper_bound
             assert s.size_lower_bound <= s.end_best_kmer_size <= s.size_upper_bound
+
+
+class TestReadIdLookup:
+    def test_read_id_of(self, corpus):
+        import numpy as np
+        from longreadselfcorrect_tpu.index.host import read_id_of
+
+        genome, reads, ix = corpus
+        # reconstruct which read every SA row belongs to by walking from the
+        # sentinel rows (row i < num_strings is the '$' suffix of read i)
+        fm = ix.bwt
+        rng = np.random.default_rng(8)
+        # pick rows via find_interval of known unique substrings
+        for t in range(10):
+            ri = int(rng.integers(len(reads)))
+            # even-index corpus reads are forward in the index
+            r = reads[ri] if ri % 2 == 0 else ab.revcomp_str(reads[ri])
+            p = int(rng.integers(0, len(r) - 25))
+            lo, hi = fm.find_interval(ab.encode(r[p : p + 25]))
+            assert lo <= hi
+            ids = set()
+            for row in range(int(lo), int(hi) + 1):
+                rid, off = read_id_of(fm, row)
+                ids.add((rid, off))
+            # our read must be among the hits at the right offset
+            assert any(rid == ri and off == p for rid, off in ids), (ri, p, ids)
