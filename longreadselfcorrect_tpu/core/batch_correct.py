@@ -21,10 +21,6 @@ from .seeds import Seed
 from ..ops import scan, walk
 
 
-class _PrefetchMiss(Exception):
-    """Abort a read's replay: a gap needs a device round first."""
-
-
 class BatchedSelfCorrector(SelfCorrector):
     """SelfCorrector with device-prefetched FM-extension walks."""
 
@@ -36,9 +32,13 @@ class BatchedSelfCorrector(SelfCorrector):
             else walk.WalkIndex.build(dev_ix, ix)
         )
         self.cfg = cfg or walk.WalkConfig(G=512, MAXLEN=768, QMAX=768, WSCAN=320)
-        # wide/long bucket for gaps that exceed the primary config's windows
+        # wide/long buckets for gaps that exceed the primary config's windows
         self.cfg_big = walk.WalkConfig(
             G=128, MAXLEN=1536, QMAX=1536, WSCAN=576, TMAX=self.cfg.TMAX,
+            KMAX=self.cfg.KMAX,
+        )
+        self.cfg_huge = walk.WalkConfig(
+            G=64, MAXLEN=2816, QMAX=2816, WSCAN=1120, TMAX=self.cfg.TMAX,
             KMAX=self.cfg.KMAX,
         )
         self._prefetch: dict = {}
@@ -146,7 +146,7 @@ class BatchedSelfCorrector(SelfCorrector):
                 src, path, trg, interval, ek, min_sa = self._plan_gap(
                     seeds[i - 1], seeds[i], seq
                 )
-                if not self._task_fits(src, path, trg, interval, ek, self.cfg_big):
+                if not self._task_fits(src, path, trg, interval, ek, self.cfg_huge):
                     continue
                 tasks.append(walk.GapTask(
                     src=src, path=path, trg=trg, dis=interval, init_k=ek,
@@ -164,16 +164,20 @@ class BatchedSelfCorrector(SelfCorrector):
         # in further device rounds rather than one-by-one on the host
         out = [None] * len(per_read)
         pending = list(range(len(per_read)))
-        for round_i in range(4):
-            self._misses = [] if round_i < 3 else None  # last round: host solve
+        # on a miss the replay continues OPTIMISTICALLY (the pretend output
+        # keeps the source tail equal to the target seed tail, which is what
+        # a successful walk leaves in the common case), so one round collects
+        # a read's entire chain of missing gaps
+        for round_i in range(6):
+            self._misses = [] if round_i < 5 else None  # final round: host
             still = []
             for ri in pending:
                 rid, seq, seeds = per_read[ri]
                 result = CorrectionResult(read_id=rid)
                 result.total_seed_num = len(seeds)
-                try:
-                    pieces = self._init_correct(seq, seeds, result)
-                except _PrefetchMiss:
+                self._read_incomplete = False
+                pieces = self._init_correct(seq, seeds, result)
+                if self._read_incomplete:
                     still.append(ri)  # retried after the next device round
                     continue
                 result.merge = bool(pieces)
@@ -208,13 +212,16 @@ class BatchedSelfCorrector(SelfCorrector):
     def _run_tasks(self, tasks, keys):
         # route to the primary or the wide/long config; batch by expected
         # walk depth so a chunk's lanes finish together
-        small, big = [], []
+        small, big, huge = [], [], []
         for i, t in enumerate(tasks):
             if self._task_fits(t.src, t.path, t.trg, t.dis, t.init_k):
                 small.append(i)
-            else:
+            elif self._task_fits(t.src, t.path, t.trg, t.dis, t.init_k, self.cfg_big):
                 big.append(i)
-        for sel_all, cfg in ((small, self.cfg), (big, self.cfg_big)):
+            else:
+                huge.append(i)
+        for sel_all, cfg in ((small, self.cfg), (big, self.cfg_big),
+                             (huge, self.cfg_huge)):
             order = sorted(sel_all, key=lambda i: tasks[i].dis)
             for base in range(0, len(order), cfg.G):
                 sel = order[base : base + cfg.G]
@@ -238,7 +245,7 @@ class BatchedSelfCorrector(SelfCorrector):
         elif (
             getattr(self, "_misses", None) is not None
             and hit is None
-            and self._task_fits(src, path, trg, interval, ek, self.cfg_big)
+            and self._task_fits(src, path, trg, interval, ek, self.cfg_huge)
         ):
             # collect for the next device round; the read's replay restarts
             self._misses.append((walk.GapTask(
@@ -247,9 +254,23 @@ class BatchedSelfCorrector(SelfCorrector):
                 min_sa_threshold=min_sa,
             ), key))
             self.stats["prefetch_miss"] += 1
-            raise _PrefetchMiss()
+            self._read_incomplete = True
+            # pretend success shaped like the raw-subsequence fallback: the
+            # read is re-replayed once the real result lands, so only the
+            # resulting source TAIL matters for collecting the next keys
+            fake = read_seq[source.seed_end_pos + 1 : target.seed_end_pos + 1]
+            result.fm_num += 1
+            return 1, fake
         else:
             self.stats["host_fallback"] += 1
+            if hit is not None:
+                self.stats["fb_flagged"] = self.stats.get("fb_flagged", 0) + 1
+            elif getattr(self, "_misses", None) is None:
+                self.stats["fb_lastround"] = self.stats.get("fb_lastround", 0) + 1
+            else:
+                self.stats["fb_unfit"] = self.stats.get("fb_unfit", 0) + 1
+                self.stats.setdefault("fb_unfit_dims", []).append(
+                    (interval, len(path), len(trg), ek))
             engine = HostExtendEngine(
                 self.ix, src, path, trg, interval, ek, ek + 2, self.fm_params, min_sa,
             )

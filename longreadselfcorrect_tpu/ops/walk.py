@@ -137,7 +137,7 @@ class WalkConfig:
     MAXLEN: int = 512      # label buffer (covers maxLength)
     QMAX: int = 512        # query buffer
     TMAX: int = 48         # terminal-interval slots (trg_len - minOverlap + 1)
-    RMAX: int = 40         # result slots per gap
+    RMAX: int = 16         # result slots per gap
     RING: int = 100        # localSimilarlykmerSize
     KMAX: int = 24         # upper bound on any backward-search chain length
     WSCAN: int = 288       # query-position scan window (>= 2*max_indel+21)
