@@ -11,8 +11,10 @@ Subcommand surface mirrors StriDe/StriDe.cpp:38-121; implemented so far:
   pbhc        PacBio hybrid correction            (StriDe/PacBioHybridCorrection.cpp)
   kmerfreq    interactive k-mer frequency probe   (StriDe/kmerfreq.cpp)
 
-Remaining subcommands (overlap, assemble, asmlong, grep, oview, subgraph,
-merge, kmercheck) land as their engines are built.
+  grep        locate a pattern's reads via the index (StriDe/grep.cpp)
+
+Remaining subcommands (overlap, assemble, asmlong, oview, subgraph, merge,
+kmercheck) land as their engines are built.
 """
 from __future__ import annotations
 
@@ -170,6 +172,28 @@ def cmd_pbcorrect(args) -> int:
                 f"{totals['exceed_leave']*100/dp_outcast:g}%"
             )
         print(f"DisBetweenSeeds: {totals['seed_dis']//totals['walk_num']}")
+    return 0
+
+
+def cmd_grep(args) -> int:
+    """Pattern search in the index with read-ID resolution (grep.cpp:56)."""
+    from .core import alphabet as ab
+    from .index.host import read_id_of
+    from .io import fasta
+
+    ix = _load_host_index(args.prefix)
+    reads = [rec for rec in fasta.read_seqs(args.readsfile)]
+    for query in sys.stdin.read().split():
+        print("--")
+        lo, hi = ix.bwt.find_interval(ab.encode(query))
+        if lo <= hi:
+            for row in range(int(lo), int(hi) + 1):
+                rid, off = read_id_of(ix.bwt, row)
+                rec = reads[rid]
+                print(rec.id)
+                print(f"{rec.seq[:off]}[{rec.seq[off:off+len(query)]}]"
+                      f"{rec.seq[off+len(query):]}")
+        print("--")
     return 0
 
 
@@ -428,6 +452,11 @@ def main(argv=None) -> int:
     p.add_argument("-k", "--kmer-size", type=int, default=31, dest="kmer_size")
     p.add_argument("-x", "--kmer-threshold", type=int, default=3, dest="kmer_threshold")
     p.set_defaults(func=cmd_filter)
+
+    p = sub.add_parser("grep", help="locate a pattern's reads via the index")
+    p.add_argument("readsfile")
+    p.add_argument("-p", "--prefix", required=True)
+    p.set_defaults(func=cmd_grep)
 
     p = sub.add_parser("pbhc", help="PacBio hybrid correction (short-read index)")
     p.add_argument("readsfile")
