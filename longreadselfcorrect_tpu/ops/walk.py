@@ -36,7 +36,7 @@ I32 = jnp.int32
 NEG = jnp.int32(-(1 << 30))
 
 
-CACHE_K = 10  # cached kmer length for chain seeding (BWTIntervalCache analog)
+CACHE_K = 8  # cached kmer length for chain seeding (BWTIntervalCache analog)
 
 
 @partial(
@@ -64,7 +64,9 @@ class FusedFM:
     @staticmethod
     def from_index_set(ix: IndexSet, host_ix) -> "FusedFM":
         assert ix.bwt.block == ix.rbwt.block
-        wc, fc = _build_kmer_caches(host_ix)
+        if not hasattr(host_ix, "_kmer_caches"):
+            host_ix._kmer_caches = _build_kmer_caches(host_ix)
+        wc, fc = host_ix._kmer_caches
         return FusedFM(
             blocks=jnp.concatenate([ix.bwt.blocks, ix.rbwt.blocks], axis=0),
             ckpt=jnp.concatenate([ix.bwt.ckpt, ix.rbwt.ckpt], axis=0),
@@ -78,22 +80,34 @@ class FusedFM:
 
 
 def _build_kmer_caches(host_ix):
-    """Host-side interval tables for all CACHE_K-mers (numpy, vectorised)."""
-    n = 4 ** CACHE_K
-    codes = np.arange(n, dtype=np.int64)
-    # word[i] = ((code >> 2*(CK-1-i)) & 3) + 1, i=0 leftmost
-    words = np.stack(
-        [((codes >> (2 * (CACHE_K - 1 - i))) & 3) + 1 for i in range(CACHE_K)], axis=1
-    ).astype(np.int8)
-    comp = (5 - words).astype(np.int8)
-    # walk convention: fwd = reverse(w) in RBWT, rvc = revcomp(w) in BWT
-    wf_lo, wf_hi = host_ix.rbwt.find_interval(words[:, ::-1])
-    wr_lo, wr_hi = host_ix.bwt.find_interval(comp[:, ::-1])
-    wcache = np.stack([wf_lo, wf_hi, wr_lo, wr_hi], axis=1).astype(np.int32)
-    # BWT-direct convention: w in BWT, complement(w) in RBWT
-    ff_lo, ff_hi = host_ix.bwt.find_interval(words)
-    fr_lo, fr_hi = host_ix.rbwt.find_interval(comp)
-    fcache = np.stack([ff_lo, ff_hi, fr_lo, fr_hi], axis=1).astype(np.int32)
+    """Host-side interval tables for all CACHE_K-mers, built level-by-level
+    over the 4-ary trie (each level is one batched LF over 4^k lanes, so the
+    whole build costs ~1.3x the last level instead of CACHE_K x)."""
+    # walk convention (append-extension): code of w = chars left-to-right
+    sym1 = np.arange(1, 5, dtype=np.int64)
+    state = list(host_ix.init_bi(sym1))
+    for _ in range(CACHE_K - 1):
+        # children codes: code*4 + c  <=>  append char c
+        n = len(state[0])
+        rep = [np.repeat(x, 4) for x in state]
+        csym = np.tile(sym1, n)
+        state = list(host_ix.extend_bi(tuple(rep), csym))
+    wcache = np.stack(state, axis=1).astype(np.int32)
+    # BWT-direct convention (prepend-extension): suffix_{j+1} = c + suffix_j
+    # with code_new = c << (2*j) | code_old
+    f_lo, f_hi = host_ix.bwt.init_interval(sym1)
+    r_lo, r_hi = host_ix.rbwt.init_interval(5 - sym1)
+    state = [f_lo, f_hi, r_lo, r_hi]
+    for j in range(1, CACHE_K):
+        n = len(state[0])
+        tiled = [np.tile(x, 4) for x in state]
+        c = np.repeat(sym1, n)          # new leading char
+        nf = host_ix.bwt.update_interval(tiled[0], tiled[1], c)
+        nr = host_ix.rbwt.update_interval(tiled[2], tiled[3], 5 - c)
+        state = [nf[0], nf[1], nr[0], nr[1]]
+        # reorder from (c, old) tiling to code = (c-1) << 2j | old — the
+        # tile/repeat above already lays codes out as (c-1)*4^j + old
+    fcache = np.stack(state, axis=1).astype(np.int32)
     return wcache, fcache
 
 
