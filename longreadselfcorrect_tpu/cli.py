@@ -84,7 +84,12 @@ def cmd_pbcorrect(args) -> int:
         start_kmer_len=args.kmer_size or 19,
         split=args.split,
         no_dp=args.nodp,
+        only_seed=args.onlyseed,
+        debug_seed=args.debugseed or args.onlyseed,
+        directory=args.output,
     )
+    if args.onlyseed:
+        return _pbcorrect_onlyseed(args, ix, params)
     if use_device:
         from .core.batch_correct import BatchedSelfCorrector
         from .index.fmindex import FMIndex, IndexSet
@@ -103,6 +108,7 @@ def cmd_pbcorrect(args) -> int:
     totals = dict(
         reads_len=0, corrected_len=0, seed_num=0, walk_num=0, high_error=0,
         exceed_depth=0, exceed_leave=0, fm=0, dp=0, seed_dis=0,
+        t_seed=0.0, t_fm=0.0, t_dp=0.0,
     )
     t0 = time.time()
     n = 0
@@ -138,6 +144,9 @@ def cmd_pbcorrect(args) -> int:
                 totals["fm"] += result.fm_num
                 totals["dp"] += result.dp_num
                 totals["seed_dis"] += result.seed_dis
+                totals["t_seed"] += result.timer_seed
+                totals["t_fm"] += result.timer_fm
+                totals["t_dp"] += result.timer_dp
                 for i, s in enumerate(result.corrected_strs):
                     flag = f"_{i}" if params.split else ""
                     fasta.write_fasta(fcorrect, rec.id + flag, s)
@@ -172,6 +181,42 @@ def cmd_pbcorrect(args) -> int:
                 f"{totals['exceed_leave']*100/dp_outcast:g}%"
             )
         print(f"DisBetweenSeeds: {totals['seed_dis']//totals['walk_num']}")
+        # per-phase timer summary (PacBioSelfCorrectionProcess.cpp:303-305)
+        print(f"Time of searching Seeds: {totals['t_seed']:g}\n"
+              f"Time of searching FM: {totals['t_fm']:g}\n"
+              f"Time of searching DP: {totals['t_dp']:g}")
+    return 0
+
+
+def _pbcorrect_onlyseed(args, ix, params) -> int:
+    """--onlyseed: score seed positions against barcode ground truth
+    (PacBioSelfCorrectionProcess.cpp:315-335,372-380)."""
+    from .core import bcode
+    from .core.correct import SelfCorrector
+    from .io import fasta
+
+    if not args.barcode:
+        print("pbcorrect --onlyseed requires -b/--barcode", file=sys.stderr)
+        return 1
+    blocks_by_read = bcode.load_barcode(args.barcode)
+    corrector = SelfCorrector(ix, params)
+    os.makedirs(args.output, exist_ok=True)
+    totals = [0, 0, 0]
+    with open(os.path.join(args.output, "total.seed"), "w") as fh:
+        for rec in fasta.read_seqs(args.readsfile):
+            result = corrector.process(rec.id, rec.seq)
+            status = bcode.score_seeds(
+                result.seeds or [], blocks_by_read.get(rec.id, []), rec.seq)
+            line = bcode.summarize_line(rec.id, status)
+            if line:
+                fh.write(line + "\n")
+            for i in range(3):
+                totals[i] += status[i]
+        line = bcode.summarize_line("total", totals)
+        if line:
+            fh.write(line + "\n")
+    print(f"total seeds: {sum(totals)} correct/error/none = {totals}",
+          file=sys.stderr)
     return 0
 
 
@@ -362,20 +407,126 @@ def cmd_fmwalk(args) -> int:
 
 
 def cmd_filter(args) -> int:
-    from .core.qc import QCParams, kmer_qc
+    from .core.qc import QCParams, filter_reads
     from .io import fasta
 
     ix = _load_host_index(args.prefix)
-    params = QCParams(kmer_length=args.kmer_size, kmer_threshold=args.kmer_threshold)
+    params = QCParams(
+        kmer_length=args.kmer_size, kmer_threshold=args.kmer_threshold,
+        check_kmer=not args.no_kmer_check,
+        check_duplicates=not args.no_duplicate_check,
+        substring_only=args.substring_only,
+    )
     kept = dropped = 0
-    with open(args.out, "w") as f:
-        for rec in fasta.read_seqs(args.readsfile):
-            if kmer_qc(ix, rec.seq, params):
+    discard = args.discard or (args.out + ".discard.fa")
+    with open(args.out, "w") as f, open(discard, "w") as fd:
+        for rec, passed in filter_reads(ix, fasta.read_seqs(args.readsfile), params):
+            if passed:
                 fasta.write_fasta(f, rec.id, rec.seq)
                 kept += 1
             else:
+                fasta.write_fasta(fd, rec.id, rec.seq)
                 dropped += 1
     print(f"kept: {kept}, filtered: {dropped}", file=sys.stderr)
+    return 0
+
+
+def cmd_overlap(args) -> int:
+    """All-vs-all exact read overlap -> ASQG (StriDe/overlap.cpp:126)."""
+    from .graph import asqg, overlap as ovl
+    from .index import store
+    from .io import fasta
+
+    ix = _load_host_index(args.prefix)
+    lex_fwd = store.load_sampled_sa(args.prefix, ix.bwt).lex
+    lex_rev = store.load_sampled_sa(args.prefix, ix.rbwt, reverse=True).lex
+    records = [(rec.id, rec.seq) for rec in fasta.read_seqs(args.readsfile)]
+    out = args.out or (os.path.splitext(os.path.basename(args.readsfile))[0] + ".asqg.gz")
+    from .graph.asqg import Header, _open
+    with _open(out, "w") as fh:
+        fh.write(Header(error_rate=0.0, min_overlap=args.min_overlap,
+                        infile=args.readsfile).to_line() + "\n")
+        edges = []
+        stats = ovl.overlap_all(
+            ix, records, args.min_overlap, lex_fwd, lex_rev,
+            on_vertex=lambda rid, seq, is_sub: asqg.write_vertex(fh, rid, seq, is_sub),
+            on_edge=edges.append,
+        )
+        for o in edges:
+            asqg.write_edge(fh, o)
+    print(f"overlap: {len(records)} reads, {stats['edges']} edges, "
+          f"{stats['substrings']} substrings -> {out}", file=sys.stderr)
+    return 0
+
+
+def cmd_assemble(args) -> int:
+    """String-graph assembly (StriDe/assemble.cpp:131-325)."""
+    from .graph import asqg
+    from .graph.visitors import (BothShortEdgesRemoveVisitor,
+                                 ContainRemoveVisitor, FastaVisitor,
+                                 GraphStatsVisitor, IllegalKmerEdgeVisitor,
+                                 RemoveByOverlapLenDiffVisitor,
+                                 TransitiveReductionVisitor, contig_stats,
+                                 graph_trim_and_smooth)
+
+    g = asqg.load(args.asqgfile, args.min_overlap, max_edges=args.max_edges)
+    ix = _load_host_index(args.prefix) if args.prefix else None
+    stats = GraphStatsVisitor()
+    print("[Stats] Input graph:", file=sys.stderr)
+    g.visit(stats)
+
+    contain = ContainRemoveVisitor()
+    while g.has_containment:
+        g.visit(contain)
+    g.visit(TransitiveReductionVisitor())
+    g.simplify()
+    print("[Stats] Simplified graph:", file=sys.stderr)
+    g.visit(stats)
+
+    if ix is not None:
+        g.visit(IllegalKmerEdgeVisitor(ix, args.kmer_size, args.kmer_threshold,
+                                       args.credible_overlap or 0))
+        g.simplify()
+
+    graph_trim_and_smooth(g, args.read_length, ix, args.max_indel)
+
+    credible = args.credible_overlap or int(args.read_length * args.min_overlap_ratio)
+    max_chimera = args.max_chimera or 2 * args.insert_size
+    # chimera removal ladder (assemble.cpp:262-321)
+    for threshold in range(2, args.kmer_threshold + 1):
+        if ix is not None:
+            if g.visit(BothShortEdgesRemoveVisitor(args.read_length, credible,
+                                                   ix, args.kmer_size, threshold)):
+                graph_trim_and_smooth(g, max_chimera, ix, args.max_indel)
+    for vlen, olen in ((args.read_length, g.min_overlap),
+                       (args.read_length, credible),
+                       (args.insert_size, credible),
+                       (max_chimera, credible)):
+        if g.visit(BothShortEdgesRemoveVisitor(vlen, olen)):
+            graph_trim_and_smooth(g, max_chimera, ix, args.max_indel)
+
+    top = int(args.insert_size * args.min_overlap_ratio)
+    step = max((top - credible) // 4, 1)
+    for length in range(credible, top + 1, step):
+        if g.visit(RemoveByOverlapLenDiffVisitor(1600, length, top + credible - length)):
+            graph_trim_and_smooth(g, max_chimera, ix, args.max_indel)
+    s3 = credible // 4
+    while s3 <= credible // 2:
+        if g.visit(RemoveByOverlapLenDiffVisitor(1600, 0, credible - s3)):
+            graph_trim_and_smooth(g, max_chimera, ix, args.max_indel)
+        s3 += s3
+    if g.visit(BothShortEdgesRemoveVisitor(args.read_length + 100,
+                                           int(args.read_length * 0.9))):
+        graph_trim_and_smooth(g, max_chimera, ix, args.max_indel)
+
+    print("[Stats] Final graph:", file=sys.stderr)
+    g.visit(stats)
+    with open(args.out_prefix + "-contigs.fa", "w") as fh:
+        fv = FastaVisitor(fh)
+        g.visit(fv)
+    cs = contig_stats(g)
+    print(f"contigs: {cs['contigs']}, total {cs['total']} bp, "
+          f"N50 {cs['n50']}, max {cs['max']}", file=sys.stderr)
     return 0
 
 
@@ -407,6 +558,11 @@ def main(argv=None) -> int:
     p.add_argument("-m", "--mode", type=int, default=None, choices=(0, 1, 2))
     p.add_argument("--split", action="store_true")
     p.add_argument("--nodp", action="store_true")
+    p.add_argument("--onlyseed", action="store_true",
+                   help="score seeds against barcode ground truth, no correction")
+    p.add_argument("--debugseed", action="store_true",
+                   help="dump per-read seed files under <output>/seed/")
+    p.add_argument("-b", "--barcode", default=None)
     p.add_argument("--engine", choices=("host", "device"), default="host",
                    help="host: single-thread numpy engine; device: batched TPU engine")
     p.add_argument("--batch-reads", type=int, default=32)
@@ -445,13 +601,43 @@ def main(argv=None) -> int:
     p.add_argument("-x", "--kmer-threshold", type=int, default=3, dest="kmer_threshold")
     p.set_defaults(func=cmd_fmwalk)
 
-    p = sub.add_parser("filter", help="k-mer QC filtering")
+    p = sub.add_parser("filter", help="QC + duplicate removal")
     p.add_argument("readsfile")
     p.add_argument("-p", "--prefix", required=True)
     p.add_argument("-o", "--out", default="filter.pass.fa")
+    p.add_argument("-d", "--discard", default=None)
     p.add_argument("-k", "--kmer-size", type=int, default=31, dest="kmer_size")
     p.add_argument("-x", "--kmer-threshold", type=int, default=3, dest="kmer_threshold")
+    p.add_argument("--no-duplicate-check", action="store_true")
+    p.add_argument("--no-kmer-check", action="store_true")
+    p.add_argument("--substring-only", action="store_true")
     p.set_defaults(func=cmd_filter)
+
+    p = sub.add_parser("overlap", help="all-vs-all read overlap -> ASQG")
+    p.add_argument("readsfile")
+    p.add_argument("-p", "--prefix", required=True)
+    p.add_argument("-o", "--out", default=None)
+    p.add_argument("-m", "--min-overlap", type=int, default=31, dest="min_overlap")
+    p.set_defaults(func=cmd_overlap)
+
+    p = sub.add_parser("assemble", help="string-graph contig assembly")
+    p.add_argument("asqgfile")
+    p.add_argument("-p", "--prefix", default=None,
+                   help="FM-index prefix (for kmer-based edge checks)")
+    p.add_argument("-o", "--out-prefix", default="StriDe", dest="out_prefix")
+    p.add_argument("-m", "--min-overlap", type=int, default=30, dest="min_overlap")
+    p.add_argument("-k", "--kmer-size", type=int, default=31, dest="kmer_size")
+    p.add_argument("-t", "--kmer-threshold", type=int, default=3, dest="kmer_threshold")
+    p.add_argument("-r", "--read-length", type=int, default=100, dest="read_length")
+    p.add_argument("-i", "--insert-size", type=int, default=400, dest="insert_size")
+    p.add_argument("-T", "--min-overlap-ratio", type=float, default=0.8,
+                   dest="min_overlap_ratio")
+    p.add_argument("-x", "--max-chimera", type=int, default=0, dest="max_chimera")
+    p.add_argument("-c", "--credible-overlap", type=int, default=0,
+                   dest="credible_overlap")
+    p.add_argument("--max-edges", type=int, default=2000, dest="max_edges")
+    p.add_argument("--max-indel", type=int, default=9, dest="max_indel")
+    p.set_defaults(func=cmd_assemble)
 
     p = sub.add_parser("grep", help="locate a pattern's reads via the index")
     p.add_argument("readsfile")

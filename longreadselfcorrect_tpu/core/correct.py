@@ -34,6 +34,9 @@ class CorrectionParams:
     adjust: bool = False       # -k/-u/-r given explicitly
     split: bool = False
     no_dp: bool = False
+    only_seed: bool = False   # --onlyseed (score seeds vs barcode, no correction)
+    debug_seed: bool = False  # --debugseed (dump per-read seed files)
+    directory: str = ""       # dump directory (reference opt::directory)
 
     def derived(self) -> tuple[ProbeParams, FMExtendParams, int]:
         """Genome-size auto-offsets + parameter structs + min SA threshold."""
@@ -81,6 +84,12 @@ class CorrectionResult:
     fm_num: int = 0
     dp_num: int = 0
     seed_dis: int = 0
+    # per-phase wall times (result.Timer_Seed/FM/DP,
+    # PacBioSelfCorrectionProcess.cpp:40,191,234)
+    timer_seed: float = 0.0
+    timer_fm: float = 0.0
+    timer_dp: float = 0.0
+    seeds: list | None = None  # kept for --onlyseed scoring / --debugseed dumps
 
 
 class SelfCorrector:
@@ -95,14 +104,36 @@ class SelfCorrector:
 
     # ------------------------------------------------------------------
     def process(self, read_id: str, read_seq: str) -> CorrectionResult:
+        import time as _time
+
         result = CorrectionResult(read_id=read_id)
+        _t0 = _time.time()
         seeds = seedmod.search_seeds(read_seq, self.ix, self.probe_params, self.thresh)
+        result.timer_seed = _time.time() - _t0
         result.total_seed_num = len(seeds)
+        self._dump_seeds(read_id, seeds)
+        if self.params.only_seed:
+            result.seeds = seeds
+            return result
         pieces = self._init_correct(read_seq, seeds, result)
         result.merge = bool(pieces)
         result.total_reads_len = len(read_seq)
         result.corrected_strs = [p.seed_str for p in pieces]
         return result
+
+    def _dump_seeds(self, read_id: str, seeds) -> None:
+        """--debugseed seed dump (LongReadProbe.cpp:109-114, format
+        SeedFeature.cpp:11-19)."""
+        if not self.params.debug_seed:
+            return
+        import os
+
+        d = os.path.join(self.params.directory or ".", "seed")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, read_id + ".seed"), "w") as fh:
+            for s in seeds:
+                fh.write(f"{s.seed_str}\t{s.max_fixed_mer_freq}\t"
+                         f"{s.seed_start_pos}\t{'Yes' if s.is_repeat else 'No'}\n")
 
     # ------------------------------------------------------------------
     def _init_correct(self, read_seq: str, seeds: list[Seed],
@@ -178,10 +209,14 @@ class SelfCorrector:
             src = ab.revcomp_str(src)
             trg = ab.revcomp_str(trg)
             path = ab.revcomp_str(path)
+        import time as _time
+
+        _t0 = _time.time()
         engine = HostExtendEngine(
             self.ix, src, path, trg, interval, ek, ek + 2, self.fm_params, min_sa,
         )
         code, walk = engine.extend()
+        result.timer_fm += _time.time() - _t0
         if code < 0:
             return code, ""
         merged = walk.merged_seq
@@ -199,6 +234,16 @@ class SelfCorrector:
         """correctByMSAlignment (PacBioSelfCorrectionProcess.cpp:208-245)."""
         if self.params.no_dp:
             return False, ""
+        import time as _time
+
+        _t0 = _time.time()
+        try:
+            return self._correct_by_msa_inner(source, target, read_seq, result)
+        finally:
+            result.timer_dp += _time.time() - _t0
+
+    def _correct_by_msa_inner(self, source: Seed, target: Seed, read_seq: str,
+                              result: CorrectionResult):
         interval, ek, src, trg, path = self._gap_setup(source, target, read_seq)
         query = src + path + trg
         identity = 0.65

@@ -49,6 +49,9 @@ def _suffix_array_int(text: np.ndarray) -> np.ndarray:
     return idx  # unreachable
 
 
+SSA_SAMPLE_RATE = 64  # DEFAULT_SA_SAMPLE_RATE (SuffixTools/SampledSuffixArray.h:71)
+
+
 @dataclass
 class BWTData:
     """Raw BWT of a read collection in rank space."""
@@ -56,6 +59,10 @@ class BWTData:
     symbols: np.ndarray   # int8 [n_total] values in {0..4}
     num_strings: int
     num_symbols: int      # == len(symbols)
+    # optional SA side-products (set when the builder had the full SA):
+    lex: np.ndarray | None = None   # u32 [ns] read id per lexicographic rank
+    ssa: np.ndarray | None = None   # u32 [n_samples, 2] (id, offset) per sampled row
+    ssa_rate: int = SSA_SAMPLE_RATE
 
     @property
     def counts(self) -> np.ndarray:
@@ -87,7 +94,18 @@ def multi_string_bwt(reads: list[np.ndarray]) -> BWTData:
     pred[0] = 0
     bwt = np.where(is_start[sa], 0, pred[sa] - n_reads)
     bwt = np.where(bwt < 0, 0, bwt)  # predecessor was a sentinel -> '$'
-    return BWTData(symbols=bwt.astype(np.int8), num_strings=n_reads, num_symbols=total)
+    # SA side-products (same layout as native/fmbuild.cpp): read id + offset
+    # of every suffix, read off the full SA while we have it
+    read_of = np.searchsorted(starts, sa, side="right") - 1
+    off_of = sa - starts[read_of]
+    lex = read_of[is_start[sa]].astype(np.uint32)
+    n_samples = total // SSA_SAMPLE_RATE + 1
+    ssa = np.full((n_samples, 2), 0xFFFFFFFF, dtype=np.uint32)
+    rows = np.arange(0, total, SSA_SAMPLE_RATE)
+    ssa[: len(rows), 0] = read_of[rows]
+    ssa[: len(rows), 1] = off_of[rows]
+    return BWTData(symbols=bwt.astype(np.int8), num_strings=n_reads,
+                   num_symbols=total, lex=lex, ssa=ssa)
 
 
 def build_bwt_pair(reads: list[np.ndarray]) -> tuple[BWTData, BWTData]:

@@ -33,6 +33,19 @@ def save_native(path_prefix: str, fwd: BWTData, rev: BWTData) -> None:
     np.savez_compressed(
         path_prefix + RNATIVE_SUFFIX, symbols=rev.symbols, num_strings=rev.num_strings
     )
+    # persist SA side-products when the builder had them (python build path;
+    # fmbuild writes its own .lex/.ssa) — the reference's .sai/.ssa artifacts
+    from . import ssa as ssa_mod
+    from .build import SSA_SAMPLE_RATE
+
+    for data, lex_sfx, ssa_sfx in ((fwd, ".lex", ".ssa"), (rev, ".rlex", ".rssa")):
+        if data.lex is not None:
+            ssa_mod.save_lex(path_prefix + lex_sfx, data.lex)
+        if data.ssa is not None:
+            ssa_mod.save_ssa_file(
+                path_prefix + ssa_sfx, SSA_SAMPLE_RATE, data.num_strings,
+                data.num_symbols, data.ssa,
+            )
 
 
 def load_native(path: str) -> BWTData:
@@ -136,3 +149,24 @@ def load_any(path_prefix: str):
         load_reference_bwt(path_prefix + ".bwt"),
         load_reference_bwt(path_prefix + ".rbwt"),
     )
+
+
+def load_sampled_sa(path_prefix: str, fm, reverse: bool = False):
+    """SampledSA for the forward (or reverse) BWT at this prefix.
+
+    Prefers persisted .lex/.ssa artifacts (fmbuild / python builder); falls
+    back to rebuilding the lexico index from the BWT (batched LF walks).
+    """
+    import os
+
+    from . import ssa as ssa_mod
+
+    lex_p = path_prefix + (".rlex" if reverse else ".lex")
+    ssa_p = path_prefix + (".rssa" if reverse else ".ssa")
+    if os.path.exists(lex_p):
+        lex = ssa_mod.load_lex(lex_p)
+        samples = rate = None
+        if os.path.exists(ssa_p):
+            rate, _, _, samples = ssa_mod.load_ssa_file(ssa_p)
+        return ssa_mod.SampledSA(fm, lex, samples, rate or 64)
+    return ssa_mod.SampledSA.build(fm)

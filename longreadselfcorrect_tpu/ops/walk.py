@@ -111,20 +111,6 @@ def _build_kmer_caches(host_ix):
     return wcache, fcache
 
 
-def _pack_label_code(labels, start_pos, parent=None, ext_sym=None, cur_len=None):
-    """2-bit code of CACHE_K chars labels[g, :, start_pos : start_pos+CK]."""
-    G = labels.shape[0]
-    code = None
-    for i in range(CACHE_K):
-        sym = _take_label(labels, start_pos + i).astype(I32)
-        if parent is not None:
-            sym = sym[:, parent]
-            sym = jnp.where(((start_pos + i) == cur_len - 1)[:, None], ext_sym, sym)
-        sym = jnp.clip(sym, 1, 4) - 1
-        code = sym if code is None else ((code << 2) | sym)
-    return code
-
-
 def occ_fused(fm: FusedFM, sym, idx, is_rbwt):
     """occ over the fused table; is_rbwt selects the sub-table per lane."""
     p = (idx + 1).astype(I32)
@@ -158,6 +144,11 @@ class WalkConfig:
     seed_size: int = 9     # idmer length
     max_leaves: int = 32
     err_dtype: type = jnp.float32
+
+    @property
+    def NCHAIN(self) -> int:
+        """Chain-ring slots: one per suffix length in [CACHE_K, KMAX]."""
+        return self.KMAX - CACHE_K + 1
 
 
 @dataclass
@@ -237,6 +228,12 @@ class WalkState:
     tail_letter: jax.Array   # i8
     tail_count: jax.Array    # i32
     tail9: jax.Array         # i32 packed last-9-chars code per leaf
+    tail8: jax.Array         # i32 packed last-CACHE_K-chars 2-bit code (wcache key)
+    chain: jax.Array         # i32 [G, L, 4, NCHAIN] chain ring: slot j holds the
+                             # walk-convention (f_lo,f_hi,r_lo,r_hi) interval of
+                             # the label suffix of length CACHE_K+j — maintained
+                             # incrementally so refineSAInterval /
+                             # SelectFreqsOfrange never re-walk LF chains
     local_err: jax.Array     # err_dtype [G, L]
     gerr_last: jax.Array     # err_dtype [G, L]
     ring: jax.Array          # err_dtype [G, L, RING]
@@ -262,7 +259,8 @@ WalkState = _register(
         "total_kmer", "last_seed_idx", "last_overlap_len", "total_seeds",
         "curr_overlap_len", "num_errors", "seed_idx_offset",
         "query_overlap_len", "redeem", "res_first", "res_second",
-        "tail_letter", "tail_count", "tail9", "local_err", "gerr_last", "ring",
+        "tail_letter", "tail_count", "tail9", "tail8", "chain",
+        "local_err", "gerr_last", "ring",
         "active", "cur_len", "cur_k", "gerr_n", "code",
         "res_labels", "res_len", "res_err", "res_i", "res_count",
         "res_overflow",
@@ -305,6 +303,11 @@ def build_batch(host_ix, tasks: list[GapTask], cfg: WalkConfig,
     tail_letter = np.zeros((G, L), np.int8)
     tail_count = zeros((G, L))
     tail9 = zeros((G, L))
+    tail8 = zeros((G, L))
+    chain = np.zeros((G, L, 4, cfg.NCHAIN), np.int32)
+    chain[..., 1, :] = -1  # f_hi
+    chain[..., 3, :] = -1  # r_hi
+    beg_pad = np.zeros((G, cfg.KMAX), np.int64)  # right-aligned root labels
     last_seed_idx = zeros((G, L)); total_seeds = zeros((G, L))
     last_overlap_len = zeros((G, L)); curr_overlap_len = zeros((G, L))
     query_overlap_len = zeros((G, L))
@@ -393,6 +396,11 @@ def build_batch(host_ix, tasks: list[GapTask], cfg: WalkConfig,
         for c in b_enc[-cfg.seed_size:]:
             code9 = (code9 << 3) | int(c)
         tail9[g, 0] = code9
+        code8 = 0
+        for c in b_enc[-CACHE_K:]:
+            code8 = ((code8 << 2) | (int(c) - 1)) & ((1 << (2 * CACHE_K)) - 1)
+        tail8[g, 0] = code8
+        beg_pad[g, max(cfg.KMAX - len(b_enc), 0):] = b_enc[-cfg.KMAX:]
         last_seed_idx[g, 0] = t.init_k - cfg.seed_size
         total_seeds[g, 0] = t.init_k - cfg.seed_size + 1
         last_overlap_len[g, 0] = curr_overlap_len[g, 0] = t.init_k
@@ -401,6 +409,21 @@ def build_batch(host_ix, tasks: list[GapTask], cfg: WalkConfig,
         cur_len[g] = t.init_k
         cur_k[g] = t.init_k
         active[g] = True
+
+    # seed the chain ring of the root leaf: slot j = walk-convention interval
+    # of the root-label suffix of length CACHE_K+j (valid where <= init_k);
+    # one vectorised find_interval over all gaps per length
+    for k in range(CACHE_K, cfg.KMAX + 1):
+        word = np.clip(beg_pad[:, cfg.KMAX - k:], 1, 4)
+        flo, fhi = host_ix.rbwt.find_interval(word[:, ::-1])
+        comp_w = 5 - word
+        rlo, rhi = host_ix.bwt.find_interval(comp_w[:, ::-1])
+        j = k - CACHE_K
+        ok = k <= init_k
+        chain[:, 0, 0, j] = np.where(ok, flo, 0)
+        chain[:, 0, 1, j] = np.where(ok, fhi, -1)
+        chain[:, 0, 2, j] = np.where(ok, rlo, 0)
+        chain[:, 0, 3, j] = np.where(ok, rhi, -1)
 
     freqs = np.zeros(101, np.float32)
     mo = min((t.min_overlap for t in tasks), default=13)
@@ -442,6 +465,8 @@ def build_batch(host_ix, tasks: list[GapTask], cfg: WalkConfig,
         tail_letter=jnp.asarray(tail_letter),
         tail_count=jnp.asarray(tail_count),
         tail9=jnp.asarray(tail9),
+        tail8=jnp.asarray(tail8),
+        chain=jnp.asarray(chain),
         local_err=jnp.zeros(GL, ed),
         gerr_last=jnp.zeros(GL, ed),
         ring=jnp.zeros((G, L, cfg.RING), ed),
@@ -468,103 +493,6 @@ def _comp4(sym):
     return jnp.where(sym == 0, 0, 5 - sym)
 
 
-def _take_label(labels, pos):
-    """labels [G, L, MAXLEN], pos [G] -> sym [G, L] (clipped gather)."""
-    G, L, M = labels.shape
-    p = jnp.clip(pos, 0, M - 1)[:, None, None]
-    return jnp.take_along_axis(labels, jnp.broadcast_to(p, (G, L, 1)), axis=2)[..., 0]
-
-
-def _suffix_chain_walkconv(fx: FusedFM, labels, cur_len, k, kmax: int,
-                           parent=None, ext_sym=None):
-    """Intervals (walk convention: fwd=reverse-in-RBWT, rvc=revcomp-in-BWT)
-    of label suffixes of per-gap length k.  Chars consumed left-to-right from
-    position cur_len-k (refineSAInterval semantics).  One stacked fused
-    gather per LF iteration."""
-    G = labels.shape[0]
-    X = labels.shape[1] if parent is None else parent.shape[0]
-    # seed with the CACHE_K-mer interval of the suffix window's first chars
-    # (identical values to CACHE_K LF steps; requires k >= CACHE_K, which
-    # holds since k >= minOverlap = 13)
-    code = _pack_label_code(labels, cur_len - k, parent, ext_sym, cur_len)
-    seed = fx.wcache[code]                     # [G, X, 4]
-    st = (seed[..., 0], seed[..., 1], seed[..., 2], seed[..., 3])
-    in_rbwt = jnp.asarray([True, True, False, False])[:, None, None]
-    nloop = kmax - CACHE_K
-
-    def fetch(pos):
-        base = _take_label(labels, pos).astype(I32)
-        if parent is not None:
-            base = base[:, parent]
-            base = jnp.where((pos == cur_len - 1)[:, None], ext_sym, base)
-        return jnp.clip(base, 0, 4)
-
-    def body(t, st):
-        f_lo, f_hi, r_lo, r_hi = st
-        rem = nloop - t
-        sym = fetch(cur_len - rem)
-        csym = _comp4(sym)
-        do_upd = (rem <= k - CACHE_K)[:, None]
-        idx4 = jnp.stack([f_lo - 1, f_hi, r_lo - 1, r_hi])
-        sym4 = jnp.stack([sym, sym, csym, csym])
-        occ4 = occ_fused(fx, sym4, idx4, in_rbwt)
-        u_f_lo = fx.C_rbwt[sym] + occ4[0]
-        u_f_hi = fx.C_rbwt[sym] + occ4[1] - 1
-        u_r_lo = fx.C_bwt[csym] + occ4[2]
-        u_r_hi = fx.C_bwt[csym] + occ4[3] - 1
-        f_lo = jnp.where(do_upd, u_f_lo, f_lo)
-        f_hi = jnp.where(do_upd, u_f_hi, f_hi)
-        r_lo = jnp.where(do_upd, u_r_lo, r_lo)
-        r_hi = jnp.where(do_upd, u_r_hi, r_hi)
-        return f_lo, f_hi, r_lo, r_hi
-
-    return jax.lax.fori_loop(0, nloop, body, st)
-
-
-def _suffix_freq_chain(fx: FusedFM, labels, cur_len, lower, upper, kmax: int,
-                       parent=None, ext_sym=None):
-    """Both-strand frequencies of label suffixes of lengths lower..lower+2
-    (SelectFreqsOfrange chain, BWT-direct convention; freq values only).
-    Returns freq3 [3, G, L] (length lower+i; invalid lengths give 0)."""
-    G = labels.shape[0]
-    X = labels.shape[1] if parent is None else parent.shape[0]
-    zero = jnp.zeros((G, X), I32)
-    st = (zero, zero - 1, zero, zero - 1)
-    freqs = jnp.zeros((3, G, X), I32)
-    in_rbwt = jnp.asarray([False, False, True, True])[:, None, None]
-
-    def fetch(pos):
-        base = _take_label(labels, pos).astype(I32)
-        if parent is not None:
-            base = base[:, parent]
-            base = jnp.where((pos == cur_len - 1)[:, None], ext_sym, base)
-        return jnp.clip(base, 0, 4)
-
-    def body(j, carry):
-        st, freqs = carry
-        f_lo, f_hi, r_lo, r_hi = st
-        sym = fetch(cur_len - 1 - j)
-        csym = _comp4(sym)
-        idx4 = jnp.stack([f_lo - 1, f_hi, r_lo - 1, r_hi])
-        sym4 = jnp.stack([sym, sym, csym, csym])
-        occ4 = occ_fused(fx, sym4, idx4, in_rbwt)
-        first = (j == 0)
-        f_lo = jnp.where(first, fx.C_bwt[sym], fx.C_bwt[sym] + occ4[0])
-        f_hi = jnp.where(first, fx.C_bwt[sym + 1] - 1, fx.C_bwt[sym] + occ4[1] - 1)
-        r_lo = jnp.where(first, fx.C_rbwt[csym], fx.C_rbwt[csym] + occ4[2])
-        r_hi = jnp.where(first, fx.C_rbwt[csym + 1] - 1, fx.C_rbwt[csym] + occ4[3] - 1)
-        st = (f_lo, f_hi, r_lo, r_hi)
-        ln = j + 1  # suffix length represented
-        fv = rank.interval_size(f_lo, f_hi) + rank.interval_size(r_lo, r_hi)
-        for i in range(3):
-            sel = (ln == lower + i) & (lower + i <= upper)
-            freqs = freqs.at[i].set(jnp.where(sel[:, None], fv, freqs[i]))
-        return st, freqs
-
-    _, freqs = jax.lax.fori_loop(0, kmax, body, (st, freqs))
-    return freqs
-
-
 def _select_freqs_of_range(consts, freq3, lower, upper, alive):
     """SelectFreqsOfrange decision ladder (:281-331): per-gap ReduceSize."""
     reduce_size = upper
@@ -578,6 +506,18 @@ def _select_freqs_of_range(consts, freq3, lower, upper, alive):
         reduce_size = jnp.where(hit, ln, reduce_size)
         decided = decided | hit
     return reduce_size
+
+
+def _chain_slot(chain, k):
+    """Ring read: walk-convention interval of the label suffix of per-gap
+    length k.  chain [G, L, 4, NCHAIN], k [G] -> 4x [G, L].
+
+    Replaces refineSAInterval's LF re-walk (LongReadCorrectByOverlap.cpp
+    refineSAInterval / :281-331): slot j was built by the exact same update
+    sequence a fresh chain would run, so values are bit-identical."""
+    j = jnp.clip(k - CACHE_K, 0, chain.shape[-1] - 1)
+    sel = jnp.take_along_axis(chain, j[:, None, None, None], axis=3)[..., 0]
+    return sel[..., 0], sel[..., 1], sel[..., 2], sel[..., 3]
 
 
 def _probe4(ix: IndexSet, f_lo, f_hi, r_lo, r_hi):
@@ -738,7 +678,7 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
 
     # ---------- extendLeaves: optional kmer-size clamp refine --------------
     need_ref0 = run & (s.cur_k > consts.max_overlap)
-    rf = _suffix_chain_walkconv(fx, s.labels, s.cur_len, consts.max_overlap, cfg.KMAX)
+    rf = _chain_slot(s.chain, consts.max_overlap)
     sel0 = need_ref0[:, None] & s.alive
     f_lo = jnp.where(sel0, rf[0], s.f_lo)
     f_hi = jnp.where(sel0, rf[1], s.f_hi)
@@ -785,13 +725,22 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
     gapA = jnp.any(extA, axis=(1, 2))
 
     # ---------- level 1 (k reduce) + level 2 (threshold relax) -------------
+    # freq3 / refined intervals come straight off the chain ring (frequency
+    # of a suffix is search-convention independent), so level12 costs one
+    # extra probe4 when any gap needs it
     need_l1 = run & ~gapA
 
     def level12(_):
         lower = jnp.maximum(cur_k0 - 2, consts.min_overlap)
-        freq3 = _suffix_freq_chain(fx, s.labels, s.cur_len, lower, cur_k0, cfg.KMAX)
+        freq3 = []
+        for i in range(3):
+            cf_lo, cf_hi, cr_lo, cr_hi = _chain_slot(s.chain, lower + i)
+            freq3.append(
+                rank.interval_size(cf_lo, cf_hi) + rank.interval_size(cr_lo, cr_hi)
+            )
+        freq3 = jnp.stack(freq3)
         reduce_size = _select_freqs_of_range(consts, freq3, lower, cur_k0, alive1)
-        rf1 = _suffix_chain_walkconv(fx, s.labels, s.cur_len, reduce_size, cfg.KMAX)
+        rf1 = _chain_slot(s.chain, reduce_size)
         p1, extB, aux1 = attempt(rf1[0], rf1[1], rf1[2], rf1[3], consts.min_sa)
         # level 2: threshold-1 attempt on the refined intervals
         mask_t1, m5 = aux1[1], aux1[2]
@@ -873,15 +822,37 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
     need_post = run & success & insuff
 
     def post_reduce(_):
+        # candidate suffix of length l ending at cur_len_new == parent ring
+        # slot (l-1) extended by the candidate char: one stacked occ gather
+        # for the <=3 lengths SelectFreqsOfrange can pick from
         lower = jnp.maximum(cur_k_new - 2, consts.min_overlap)
-        freq3 = _suffix_freq_chain(
-            fx, s.labels, cur_len_new, lower, cur_k_new, cfg.KMAX,
-            parent=parent, ext_sym=echar.astype(I32)[None, :],
-        )
+        sym = jnp.broadcast_to(echar[None, :].astype(I32), (G, C))
+        csym = _comp4(sym)
+        sts = []
+        for i in range(3):
+            j = jnp.clip(lower + i - 1 - CACHE_K, 0, cfg.NCHAIN - 1)
+            st = jnp.take_along_axis(s.chain, j[:, None, None, None], axis=3)[..., 0]
+            sts.append(st[:, parent])              # [G, C, 4]
+        sts = jnp.stack(sts)                       # [3, G, C, 4]
+        idx4 = jnp.stack([sts[..., 0] - 1, sts[..., 1], sts[..., 2] - 1,
+                          sts[..., 3]], axis=1)    # [3, 4, G, C]
+        sym4 = jnp.broadcast_to(jnp.stack([sym, sym, csym, csym])[None],
+                                (3, 4, G, C))
+        in_rbwt = jnp.asarray([True, True, False, False])[None, :, None, None]
+        occ4 = occ_fused(fx, sym4, idx4, in_rbwt)
+        e_f_lo = fx.C_rbwt[sym][None] + occ4[:, 0]
+        e_f_hi = fx.C_rbwt[sym][None] + occ4[:, 1] - 1
+        e_r_lo = fx.C_bwt[csym][None] + occ4[:, 2]
+        e_r_hi = fx.C_bwt[csym][None] + occ4[:, 3] - 1
+        freq3 = rank.interval_size(e_f_lo, e_f_hi) + rank.interval_size(e_r_lo, e_r_hi)
         rsize = _select_freqs_of_range(consts, freq3, lower, cur_k_new, cand)
-        rf2 = _suffix_chain_walkconv(
-            fx, s.labels, cur_len_new, rsize, cfg.KMAX,
-            parent=parent, ext_sym=echar.astype(I32)[None, :],
+        pick = (rsize[:, None] - lower[:, None])[None, ...]  # [1, G, 1]
+        which = jnp.arange(3)[:, None, None] == pick
+        rf2 = (
+            jnp.sum(jnp.where(which, e_f_lo, 0), axis=0),
+            jnp.sum(jnp.where(which, e_f_hi, 0), axis=0),
+            jnp.sum(jnp.where(which, e_r_lo, 0), axis=0),
+            jnp.sum(jnp.where(which, e_r_hi, 0), axis=0),
         )
         return rsize, rf2
 
@@ -1054,6 +1025,38 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
         s.ring,
     )
 
+    # ---------- advance the chain ring (one wide stacked gather) -----------
+    # new slot j>=1 = parent slot j-1 extended by the leaf's appended char;
+    # slot 0 reseeds from the CACHE_K interval cache via the new tail code
+    NC = cfg.NCHAIN
+    par_chain = jnp.take_along_axis(
+        s.chain, leaf_parent[:, :, None, None], axis=1
+    )                                               # [G, L, 4, NC]
+    prev = par_chain[..., : NC - 1]                 # slots 0..NC-2
+    lch = leaf_char.astype(I32)                     # [G, L]
+    lsym = jnp.broadcast_to(lch[..., None], (G, L, NC - 1))
+    lcsym = _comp4(lsym)
+    cidx4 = jnp.stack([
+        prev[:, :, 0] - 1, prev[:, :, 1], prev[:, :, 2] - 1, prev[:, :, 3]
+    ])                                              # [4, G, L, NC-1]
+    csym4 = jnp.stack([lsym, lsym, lcsym, lcsym])
+    c_in_rbwt = jnp.asarray([True, True, False, False])[:, None, None, None]
+    cocc4 = occ_fused(fx, csym4, cidx4, c_in_rbwt)
+    adv = jnp.stack([
+        fx.C_rbwt[lsym] + cocc4[0],
+        fx.C_rbwt[lsym] + cocc4[1] - 1,
+        fx.C_bwt[lcsym] + cocc4[2],
+        fx.C_bwt[lcsym] + cocc4[3] - 1,
+    ], axis=2)                                      # [G, L, 4, NC-1]
+    c_tail8 = (
+        (s.tail8[:, parent] << 2) | (echar[None, :].astype(I32) - 1)
+    ) & ((1 << (2 * CACHE_K)) - 1)                  # [G, C]
+    new_tail8 = upd(s.tail8, c_tail8)
+    slot0 = fx.wcache[new_tail8]                    # [G, L, 4]
+    new_chain = jnp.concatenate([slot0[..., None], adv], axis=3)
+    chain_sel = (run & success)[:, None, None, None] & has_leaf[:, :, None, None]
+    new_chain = jnp.where(chain_sel, new_chain, s.chain)
+
     leaves_over = jnp.where(run, n_surv > cfg.max_leaves, False)
     # >maxLeaves: the reference's while-condition exit (-3, or 1 if results
     # were recorded); the check would fire next iteration with unchanged state
@@ -1088,6 +1091,8 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
         tail_letter=upd(s.tail_letter, c_tail_letter),
         tail_count=upd(s.tail_count, c_tail_cnt),
         tail9=upd(s.tail9, c_tail9),
+        tail8=new_tail8,
+        chain=new_chain,
         local_err=upd(s.local_err, local),
         gerr_last=upd(s.gerr_last, gerr),
         ring=new_ring,
@@ -1142,6 +1147,27 @@ def multistep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
     )
 
 
+@partial(jax.jit, static_argnames=("cfg", "max_steps"))
+def run_to_completion(wx: WalkIndex, consts: WalkConsts, state: WalkState,
+                      cfg: WalkConfig, max_steps: int):
+    """Walk every gap lane to completion in ONE device dispatch.
+
+    A single lax.while_loop replaces the host-polled chunks of supersteps —
+    through the remote-device tunnel a dispatch+readback round trip costs
+    ~35 ms, so per-chunk polling dominated small batches."""
+
+    def cond(carry):
+        step, st = carry
+        return (step < max_steps) & jnp.any(st.active & (st.code == 0))
+
+    def body(carry):
+        step, st = carry
+        return step + 1, superstep(wx, consts, st, cfg)
+
+    _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+    return st
+
+
 def run_gap_batch(host_ix, dev_ix, tasks, cfg: WalkConfig,
                   pacbio_error_rate: float, pb_coverage: int,
                   max_steps: int = 4096, check_every: int = 32):
@@ -1152,14 +1178,7 @@ def run_gap_batch(host_ix, dev_ix, tasks, cfg: WalkConfig,
     -100)."""
     wx = dev_ix if isinstance(dev_ix, WalkIndex) else WalkIndex.build(dev_ix, host_ix)
     consts, state = build_batch(host_ix, tasks, cfg, pacbio_error_rate, pb_coverage)
-    steps = 0
-    while steps < max_steps:
-        state = multistep(wx, consts, state, cfg, check_every)
-        steps += check_every
-        code = np.asarray(state.code)
-        active = np.asarray(state.active)
-        if not np.any(active[: len(tasks)] & (code[: len(tasks)] == 0)):
-            break
+    state = run_to_completion(wx, consts, state, cfg, max_steps)
     state_np = {
         "code": np.asarray(state.code),
         "res_count": np.asarray(state.res_count),

@@ -9,9 +9,21 @@
 //
 //   fmbuild reads.fa out_prefix
 //     -> out_prefix.bwtraw / out_prefix.rbwtraw  (raw symbol streams)
+//     -> out_prefix.lex    / out_prefix.rlex     (lexicographic read index)
+//     -> out_prefix.ssa    / out_prefix.rssa     (sampled suffix array)
 //
 // Raw format: magic u32 'LRSB', u64 num_strings, u64 num_symbols, then
 // num_symbols bytes of rank symbols ($=0 A=1 C=2 G=3 T=4).
+//
+// .lex ('LRSL'): u64 num_strings, then u32 read-id per lexicographic rank —
+// the reference's .sai (SuffixTools/SampledSuffixArray::buildLexicoIndex,
+// SampledSuffixArray.h:44): the k-th '$' in BWT row order terminates the
+// read whose full string has lexicographic rank k.
+//
+// .ssa ('LRSS'): u32 sample_rate, u64 num_strings, u64 num_symbols, then
+// (u32 read_id, u32 offset) for every BWT row r with r % rate == 0 — the
+// reference's row-sampled SA (SampledSuffixArray.cpp:126: idx % rate == 0);
+// lookup LF-walks to the next sampled row or the read's sentinel.
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -145,18 +157,31 @@ static bool load_fastx(const char* path, ReadSet& rs) {
     return true;
 }
 
+static int64_t g_non_acgt = 0;  // counted per process; reported at exit
+
 static int8_t rank_of(char c) {
     switch (c) {
         case 'A': case 'a': return 1;
         case 'C': case 'c': return 2;
         case 'G': case 'g': return 3;
         case 'T': case 't': return 4;
-        default: return 1;  // N and friends -> A (matches preprocess-fixed input)
+        default:
+            // Non-ACGT degrades to A in the index (wrong k-mer intervals for
+            // the affected positions); the reference pipeline expects reads
+            // to have been run through `preprocess` first, which rewrites
+            // ambiguity codes. Count and loudly warn instead of silently
+            // corrupting (StriDe/preprocess.cpp is the upstream fix).
+            __atomic_add_fetch(&g_non_acgt, 1, __ATOMIC_RELAXED);
+            return 1;
     }
 }
 
-// build BWT of the read set (optionally per-read reversed) and write raw file
-static bool build_and_write(const ReadSet& rs, bool reversed, const std::string& path) {
+static const uint32_t SSA_SAMPLE_RATE = 64;  // DEFAULT_SA_SAMPLE_RATE (SampledSuffixArray.h:71)
+
+// build BWT of the read set (optionally per-read reversed) and write raw
+// symbol stream + lexico index + sampled SA
+static bool build_and_write(const ReadSet& rs, bool reversed, const std::string& path,
+                            const std::string& lex_path, const std::string& ssa_path) {
     const int64_t nreads = (int64_t)rs.seqs.size();
     int64_t total = 0;
     for (auto& r : rs.seqs) total += (int64_t)r.size() + 1;
@@ -194,12 +219,32 @@ static bool build_and_write(const ReadSet& rs, bool reversed, const std::string&
     fwrite(&ns, 8, 1, f);
     fwrite(&nsym, 8, 1, f);
     std::vector<int8_t> out(total);
+    std::vector<uint32_t> lex;          // read id per '$' in BWT row order
+    lex.reserve(nreads);
+    const int64_t n_samples = total / SSA_SAMPLE_RATE + 1;
+    std::vector<uint32_t> ssa(2 * n_samples, 0xFFFFFFFFu);
     int64_t w = 0;
     for (int64_t i = 0; i <= total; ++i) {
         int64_t p = sa[i];
         if (p == total) continue;  // the lone global-terminator suffix
+        // read owning text position p: starts[] is sorted; binary search
+        if (w % SSA_SAMPLE_RATE == 0) {
+            int64_t lo = 0, hi = nreads - 1;
+            while (lo < hi) {
+                int64_t mid = (lo + hi + 1) / 2;
+                if (starts[mid] <= p) lo = mid; else hi = mid - 1;
+            }
+            ssa[2 * (w / SSA_SAMPLE_RATE)] = (uint32_t)lo;
+            ssa[2 * (w / SSA_SAMPLE_RATE) + 1] = (uint32_t)(p - starts[lo]);
+        }
         if (is_start[p]) {
             out[w++] = 0;  // whole-read suffix preceded by its own '$'
+            int64_t lo = 0, hi = nreads - 1;
+            while (lo < hi) {
+                int64_t mid = (lo + hi + 1) / 2;
+                if (starts[mid] <= p) lo = mid; else hi = mid - 1;
+            }
+            lex.push_back((uint32_t)lo);
         } else {
             int64_t v = text[p - 1];
             out[w++] = (v <= nreads) ? 0 : (int8_t)(v - nreads - 1 + 1);
@@ -207,6 +252,25 @@ static bool build_and_write(const ReadSet& rs, bool reversed, const std::string&
     }
     fwrite(out.data(), 1, total, f);
     fclose(f);
+
+    FILE* lf = fopen(lex_path.c_str(), "wb");
+    if (!lf) return false;
+    uint32_t lmagic = 0x4c53524c;  // 'LRSL'
+    fwrite(&lmagic, 4, 1, lf);
+    fwrite(&ns, 8, 1, lf);
+    fwrite(lex.data(), 4, lex.size(), lf);
+    fclose(lf);
+
+    FILE* sf = fopen(ssa_path.c_str(), "wb");
+    if (!sf) return false;
+    uint32_t smagic = 0x5353524c;  // 'LRSS'
+    uint32_t rate = SSA_SAMPLE_RATE;
+    fwrite(&smagic, 4, 1, sf);
+    fwrite(&rate, 4, 1, sf);
+    fwrite(&ns, 8, 1, sf);
+    fwrite(&nsym, 8, 1, sf);
+    fwrite(ssa.data(), 4, ssa.size(), sf);
+    fclose(sf);
     return true;
 }
 
@@ -223,11 +287,23 @@ int main(int argc, char** argv) {
     fprintf(stderr, "fmbuild: %zu reads\n", rs.seqs.size());
     std::string prefix = argv[2];
     bool ok_f = false, ok_r = false;
-    std::thread tf([&] { ok_f = build_and_write(rs, false, prefix + ".bwtraw"); });
-    std::thread tr([&] { ok_r = build_and_write(rs, true, prefix + ".rbwtraw"); });
+    std::thread tf([&] {
+        ok_f = build_and_write(rs, false, prefix + ".bwtraw", prefix + ".lex",
+                               prefix + ".ssa");
+    });
+    std::thread tr([&] {
+        ok_r = build_and_write(rs, true, prefix + ".rbwtraw", prefix + ".rlex",
+                               prefix + ".rssa");
+    });
     tf.join();
     tr.join();
     if (!ok_f || !ok_r) return 1;
-    fprintf(stderr, "fmbuild: wrote %s.bwtraw + .rbwtraw\n", prefix.c_str());
+    if (g_non_acgt > 0)
+        fprintf(stderr,
+                "fmbuild: WARNING: %lld non-ACGT bases mapped to A — run "
+                "`preprocess` first for a faithful index\n",
+                (long long)(g_non_acgt / 2));  // counted once per strand build
+    fprintf(stderr, "fmbuild: wrote %s.{bwtraw,rbwtraw,lex,rlex,ssa,rssa}\n",
+            prefix.c_str());
     return 0;
 }

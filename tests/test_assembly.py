@@ -1,0 +1,115 @@
+"""Overlap + string-graph assembly tests: synthetic error-free reads must
+assemble back into the source sequence (overlap -> ASQG -> assemble passes
+mirror StriDe/overlap.cpp + StriDe/assemble.cpp)."""
+import numpy as np
+import pytest
+
+from longreadselfcorrect_tpu.core import alphabet as ab
+from longreadselfcorrect_tpu.graph import asqg, overlap as ovl
+from longreadselfcorrect_tpu.graph.core import Overlap, StringGraph
+from longreadselfcorrect_tpu.graph.visitors import (
+    ContainRemoveVisitor, GraphStatsVisitor, TransitiveReductionVisitor,
+    TrimVisitor, contig_stats)
+from longreadselfcorrect_tpu.index import build
+from longreadselfcorrect_tpu.index.host import HostFM, HostIndexSet
+
+
+def make_corpus(rng, genome_len=600, read_len=80, step=20):
+    genome = "".join(rng.choice(list("ACGT"), size=genome_len))
+    reads = []
+    for i, p in enumerate(range(0, genome_len - read_len + 1, step)):
+        r = genome[p : p + read_len]
+        if i % 3 == 1:
+            r = ab.revcomp_str(r)
+        reads.append((f"r{i}", r))
+    return genome, reads
+
+
+def build_ix(reads):
+    fwd, rev = build.build_bwt_pair([ab.encode(s) for _, s in reads])
+    ix = HostIndexSet(HostFM(fwd.symbols, fwd.num_strings),
+                      HostFM(rev.symbols, rev.num_strings))
+    return ix, fwd.lex, rev.lex
+
+
+def naive_overlaps(reads, min_overlap):
+    """Brute-force suffix/prefix overlap oracle over both strands.
+
+    Returns the set of canonical (idA, idB, overlap_len, rc) tuples with
+    id0 > id1 (the reference's duplicate filter keeps id[0] > id[1],
+    StriDe/OverlapCommon.cpp:66)."""
+    out = set()
+    seqs = dict(reads)
+    for ida, a in reads:
+        for idb, b in reads:
+            if ida == idb:
+                continue
+            for brc, rc in ((b, False), (ab.revcomp_str(b), True)):
+                for ol in range(min_overlap, min(len(a), len(brc)) + 1):
+                    if ol == len(a) or ol == len(brc):
+                        continue  # containment handled separately
+                    if a[-ol:] == brc[:ol]:       # suffix(a) = prefix(b')
+                        if ida > idb:
+                            out.add((ida, idb, ol, rc, "sp"))
+                    if brc[-ol:] == a[:ol]:       # prefix(a) = suffix(b')
+                        if ida > idb:
+                            out.add((ida, idb, ol, rc, "ps"))
+    return out
+
+
+class TestOverlapDiscovery:
+    def test_matches_naive_oracle(self, rng):
+        _, reads = make_corpus(rng, 400, 60, 25)
+        ix, lex_f, lex_r = build_ix(reads)
+        got = set()
+
+        def on_edge(o):
+            m = o.match
+            ol = m.coord[0].length()
+            side = "sp" if m.coord[0].is_right_extreme() != False and m.coord[0].start > 0 else "ps"
+            # classify by which end of the query the overlap touches
+            side = "sp" if (m.coord[0].start > 0) else "ps"
+            got.add((o.id[0], o.id[1], ol, m.is_rc, side))
+
+        ovl.overlap_all(ix, reads, 20, lex_f, lex_r, on_edge=on_edge)
+        want = naive_overlaps(reads, 20)
+        assert got == want
+
+    def test_substring_detection(self, rng):
+        _, reads = make_corpus(rng, 300, 70, 35)
+        reads.append(("sub0", reads[0][1][5:60]))
+        ix, lex_f, lex_r = build_ix(reads)
+        subs = []
+        ovl.overlap_all(ix, reads, 20, lex_f, lex_r,
+                        on_vertex=lambda rid, seq, is_sub: subs.append(rid) if is_sub else None)
+        assert subs == ["sub0"]
+
+
+class TestAssembleEndToEnd:
+    def test_error_free_reads_assemble_to_genome(self, rng, tmp_path):
+        genome, reads = make_corpus(rng, 800, 100, 20)
+        ix, lex_f, lex_r = build_ix(reads)
+        path = str(tmp_path / "g.asqg.gz")
+        from longreadselfcorrect_tpu.graph.asqg import Header, _open
+        with _open(path, "w") as fh:
+            fh.write(Header(min_overlap=40).to_line() + "\n")
+            edges = []
+            ovl.overlap_all(
+                ix, reads, 40, lex_f, lex_r,
+                on_vertex=lambda rid, seq, is_sub: asqg.write_vertex(fh, rid, seq, is_sub),
+                on_edge=edges.append)
+            for o in edges:
+                asqg.write_edge(fh, o)
+
+        g = asqg.load(path, 40)
+        contain = ContainRemoveVisitor()
+        while g.has_containment:
+            g.visit(contain)
+        g.visit(TransitiveReductionVisitor())
+        g.simplify()
+        g.visit(TrimVisitor(150))
+        g.simplify()
+        cs = contig_stats(g)
+        assert cs["contigs"] == 1, cs
+        contig = next(iter(g.vertices.values())).seq
+        assert contig in (genome, ab.revcomp_str(genome)), (len(contig), len(genome))
