@@ -220,6 +220,31 @@ def _pbcorrect_onlyseed(args, ix, params) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    """FM-merge unambiguously-overlapping reads (StriDe/fm-merge.cpp:83)."""
+    from .graph.fmmerge import FMMerger
+    from .index import store
+    from .io import fasta
+
+    ix = _load_host_index(args.prefix)
+    lex_fwd = store.load_sampled_sa(args.prefix, ix.bwt).lex
+    lex_rev = store.load_sampled_sa(args.prefix, ix.rbwt, reverse=True).lex
+    records = [(rec.id, rec.seq) for rec in fasta.read_seqs(args.readsfile)]
+    merger = FMMerger(ix, records, lex_fwd, lex_rev, args.min_overlap)
+    n = total_len = 0
+    with open(args.out, "w") as f:
+        for rid, seq in merger.merge_all():
+            fasta.write_fasta(f, rid, seq)
+            n += 1
+            total_len += len(seq)
+    print(f"[fm-merge] Merged {len(records)} reads into {n} sequences",
+          file=sys.stderr)
+    if n:
+        print(f"[fm-merge] Reduction factor: {len(records)/n:g}\n"
+              f"[fm-merge] Mean merged size: {total_len/n:g}", file=sys.stderr)
+    return 0
+
+
 def cmd_grep(args) -> int:
     """Pattern search in the index with read-ID resolution (grep.cpp:56)."""
     from .core import alphabet as ab
@@ -612,6 +637,13 @@ def main(argv=None) -> int:
     p.add_argument("--no-kmer-check", action="store_true")
     p.add_argument("--substring-only", action="store_true")
     p.set_defaults(func=cmd_filter)
+
+    p = sub.add_parser("merge", help="FM-merge unambiguous reads into unitigs")
+    p.add_argument("readsfile")
+    p.add_argument("-p", "--prefix", required=True)
+    p.add_argument("-o", "--out", default="merged.fa")
+    p.add_argument("-m", "--min-overlap", type=int, default=45, dest="min_overlap")
+    p.set_defaults(func=cmd_merge)
 
     p = sub.add_parser("overlap", help="all-vs-all read overlap -> ASQG")
     p.add_argument("readsfile")

@@ -48,6 +48,10 @@ class OverlapBlock:
     overlap_len: int
     flags: tuple       # (query_rev, target_rev, query_comp)
     num_diff: int = 0
+    # '$'-probed pair interval[1] — live range for right-extension in the
+    # irreducible classification (OverlapBlock::ranges)
+    p_lo1: int = 0
+    p_hi1: int = -1
 
     def interval1_size(self) -> int:
         return max(self.raw1_hi - self.raw1_lo + 1, 0)
@@ -134,7 +138,8 @@ def find_overlap_blocks_exact(w_enc: np.ndarray, fmA, fmB, flags: tuple,
             _update_both_l(probe, 0, fmA)
             if probe.valid1():
                 out_blocks.append(OverlapBlock(
-                    probe.lo0, probe.hi0, pair.lo1, pair.hi1, overlap_len, flags))
+                    probe.lo0, probe.hi0, pair.lo1, pair.hi1, overlap_len, flags,
+                    p_lo1=probe.lo1, p_hi1=probe.hi1))
     _update_both_l(pair, int(w_enc[0]), fmA)
     # containment / substring classification on the full-read interval
     if _has_dna_ext(fmA, pair.lo0, pair.hi0) or _has_dna_ext(fmB, pair.lo1, pair.hi1):
@@ -202,10 +207,109 @@ def remove_submaximal_blocks(blocks: list) -> list:
     return blocks
 
 
-def overlap_read_exact(ix, seq: str, min_overlap: int):
+def _ext_bwt(ix, block: OverlapBlock):
+    """getExtensionBWT (OverlapBlock.cpp): the index for right-extension of
+    interval[1] — global RBWT for fwd-target blocks, BWT for rev-target."""
+    return ix.bwt if block.flags[1] else ix.rbwt
+
+
+def _canonical_ext_count(ix, block: OverlapBlock) -> np.ndarray:
+    """getCanonicalExtCount: right-extension AlphaCount in query orientation."""
+    fm = _ext_bwt(ix, block)
+    if block.p_lo1 > block.p_hi1:
+        return np.zeros(5, np.int64)
+    l = _occ_all(fm, block.p_lo1 - 1)
+    u = _occ_all(fm, block.p_hi1)
+    out = u - l
+    if block.flags[2]:  # queryComp: complement the DNA counts
+        out = np.concatenate([out[:1], out[1:5][::-1]])
+    return out
+
+
+def _update_block_right(ix, block: OverlapBlock, canonical_base: int) -> bool:
+    """updateOverlapBlockRangesRight for one block; returns validity."""
+    fm = _ext_bwt(ix, block)
+    rel = canonical_base
+    if block.flags[2] and canonical_base != 0:  # comp('$') == '$'
+        rel = 5 - canonical_base
+    pair = _Pair(block.lo, block.hi, block.p_lo1, block.p_hi1)
+    _update_both_r(pair, rel, fm)
+    block.lo, block.hi = pair.lo0, pair.hi0
+    block.p_lo1, block.p_hi1 = pair.lo1, pair.hi1
+    return pair.valid0() and pair.valid1()
+
+
+def compute_irreducible_blocks(ix, blocks: list) -> list:
+    """_processIrreducibleBlocksExactIterative
+    (Algorithm/OverlapAlgorithm.cpp:1060-1190): lockstep right-extension of
+    block groups; a group's top-level block is irreducible when it reaches
+    its read's '$'; shorter blocks still alive then are transitive and are
+    dropped; divergent extensions split the group."""
+    if not blocks:
+        return []
+    final: list[OverlapBlock] = []
+    groups = [sorted(blocks, key=lambda b: -b.overlap_len)]
+    while groups:
+        incoming = []
+        remaining = []
+        for cur in groups:
+            top_len = cur[0].overlap_len
+            tlb = [b for b in cur if b.overlap_len == top_len]
+            ext = sum((_canonical_ext_count(ix, b) for b in tlb),
+                      np.zeros(5, np.int64))
+            split = False
+            if ext[0] > 0:
+                ok = True
+                appended = 0
+                for b in tlb:
+                    if _canonical_ext_count(ix, b)[0] == 0:
+                        # substring among top-level blocks: undo + split
+                        del final[len(final) - appended:]
+                        ok = False
+                        break
+                    nb = OverlapBlock(**{f: getattr(b, f) for f in (
+                        "lo", "hi", "raw1_lo", "raw1_hi", "overlap_len",
+                        "flags", "num_diff", "p_lo1", "p_hi1")})
+                    _update_block_right(ix, nb, 0)
+                    final.append(nb)
+                    appended += 1
+                if ok:
+                    continue  # group finished
+                split = True
+            if not split:
+                for b in cur[len(tlb):]:
+                    ext = ext + _canonical_ext_count(ix, b)
+                dna = ext[1:5]
+                if (dna > 0).sum() == 1:
+                    base = int(np.argmax(dna)) + 1
+                    cur = [b for b in cur if _update_block_right(ix, b, base)]
+                    if cur:
+                        remaining.append(cur)
+                    continue
+            # branch: split the group per extension base
+            full_ext = sum((_canonical_ext_count(ix, b) for b in cur),
+                           np.zeros(5, np.int64))
+            for base in range(1, 5):
+                if full_ext[base] > 0:
+                    branched = []
+                    for b in cur:
+                        nb = OverlapBlock(**{f: getattr(b, f) for f in (
+                            "lo", "hi", "raw1_lo", "raw1_hi", "overlap_len",
+                            "flags", "num_diff", "p_lo1", "p_hi1")})
+                        if _update_block_right(ix, nb, base):
+                            branched.append(nb)
+                    if branched:
+                        incoming.append(branched)
+        groups = remaining + incoming
+    return final
+
+
+def overlap_read_exact(ix, seq: str, min_overlap: int, irreducible: bool = False):
     """overlapReadExact (OverlapAlgorithm.cpp:270-346).
 
-    Returns (blocks, contain_blocks, is_substring)."""
+    Returns (blocks, contain_blocks, is_substring).  With irreducible=True
+    the transitive blocks are removed by lockstep right-extension
+    (computeIrreducibleBlocks, :334-335)."""
     enc = ab.encode(seq)
     rc = ab.reverse_complement(enc)
     comp = np.where(enc == 0, 0, 5 - enc).astype(enc.dtype)
@@ -241,8 +345,12 @@ def overlap_read_exact(ix, seq: str, min_overlap: int):
     def drop_contain(lst):
         return [b for b in lst if b.overlap_len != len(seq)]
 
-    blocks = (drop_contain(suffix_fwd) + drop_contain(suffix_rev)
-              + drop_contain(prefix_fwd) + drop_contain(prefix_rev))
+    suffix_all = drop_contain(suffix_fwd) + drop_contain(suffix_rev)
+    prefix_all = drop_contain(prefix_fwd) + drop_contain(prefix_rev)
+    if irreducible:
+        suffix_all = compute_irreducible_blocks(ix, suffix_all)
+        prefix_all = compute_irreducible_blocks(ix, prefix_all)
+    blocks = suffix_all + prefix_all
     return blocks, fwd_contain + rev_contain, is_substring
 
 
