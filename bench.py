@@ -122,13 +122,10 @@ def main():
 
     prefix = ensure_our_index(corpus)
     t0 = time.time()
-    fwd, rev = store.load_any(prefix)
-    hix = HostIndexSet(HostFM(fwd.symbols, fwd.num_strings), HostFM(rev.symbols, rev.num_strings))
-    dix = IndexSet(
-        bwt=FMIndex.from_symbols(fwd.symbols, fwd.num_strings),
-        rbwt=FMIndex.from_symbols(rev.symbols, rev.num_strings),
-    )
-    log(f"index load+pack: {time.time()-t0:.0f}s ({fwd.num_symbols} symbols)")
+    from longreadselfcorrect_tpu.index.pack import open_index
+
+    hix, dix = open_index(prefix)
+    log(f"index load+pack: {time.time()-t0:.0f}s ({hix.bwt.n} symbols)")
 
     params = CorrectionParams(pb_coverage=COVERAGE, genome=10)
 

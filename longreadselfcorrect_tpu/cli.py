@@ -55,13 +55,9 @@ def cmd_index(args) -> int:
 
 
 def _load_host_index(prefix: str):
-    from .index import store
-    from .index.host import HostFM, HostIndexSet
+    from .index.pack import open_index
 
-    fwd, rev = store.load_any(prefix)
-    return HostIndexSet(
-        HostFM(fwd.symbols, fwd.num_strings), HostFM(rev.symbols, rev.num_strings)
-    )
+    return open_index(prefix, device=False)[0]
 
 
 def cmd_pbcorrect(args) -> int:
@@ -92,14 +88,9 @@ def cmd_pbcorrect(args) -> int:
         return _pbcorrect_onlyseed(args, ix, params)
     if use_device:
         from .core.batch_correct import BatchedSelfCorrector
-        from .index.fmindex import FMIndex, IndexSet
-        from .index import store
+        from .index.pack import open_index
 
-        fwd, rev = store.load_any(args.prefix)
-        dix = IndexSet(
-            bwt=FMIndex.from_symbols(fwd.symbols, fwd.num_strings),
-            rbwt=FMIndex.from_symbols(rev.symbols, rev.num_strings),
-        )
+        _, dix = open_index(args.prefix)
         corrector = BatchedSelfCorrector(ix, dix, params)
     else:
         corrector = SelfCorrector(ix, params)

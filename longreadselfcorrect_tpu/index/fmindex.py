@@ -19,8 +19,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import alphabet as ab
-
 DEFAULT_BLOCK = 128
 
 
@@ -49,31 +47,25 @@ class FMIndex:
     def from_symbols(
         symbols: np.ndarray, num_strings: int, block: int = DEFAULT_BLOCK
     ) -> "FMIndex":
-        symbols = np.asarray(symbols, dtype=np.int8)
+        from .pack import pack_symbols
+
         n = len(symbols)
-        assert n < 2**31, "int32 interval space exceeded; enable 64-bit build"
-        # one extra block row so that a query at i == n-1 (p == n) can gather
-        # checkpoint row p // B even when n % B == 0
-        nb = n // block + 1
-        padded = np.full(nb * block, ab.PAD_RANK, dtype=np.int8)
-        padded[:n] = symbols
-        blocks = padded.reshape(nb, block)
-        per_block = np.empty((nb, ab.ALPHABET_SIZE), dtype=np.int64)
-        for s in range(ab.ALPHABET_SIZE):
-            per_block[:, s] = (blocks == s).sum(axis=1)
-        csum = per_block.cumsum(axis=0)
-        ckpt = np.zeros((nb, ab.ALPHABET_SIZE), dtype=np.int32)
-        ckpt[1:] = csum[:-1]
-        counts = csum[-1]
-        C = np.zeros(ab.ALPHABET_SIZE + 1, dtype=np.int32)
-        C[1:] = np.cumsum(counts)
+        blocks, ckpt, C = pack_symbols(symbols, block)
+        return FMIndex.from_pack(blocks, ckpt, C, n, num_strings)
+
+    @staticmethod
+    def from_pack(
+        blocks: np.ndarray, ckpt: np.ndarray, C: np.ndarray, n: int,
+        num_strings: int,
+    ) -> "FMIndex":
+        """Wrap a persisted packed layout (index/pack.py) as device tensors."""
         return FMIndex(
             blocks=jnp.asarray(blocks),
-            ckpt=jnp.asarray(ckpt),
-            C=jnp.asarray(C),
-            n=n,
-            num_strings=num_strings,
-            block=block,
+            ckpt=jnp.asarray(np.asarray(ckpt, np.int32)),
+            C=jnp.asarray(np.asarray(C, np.int32)),
+            n=int(n),
+            num_strings=int(num_strings),
+            block=blocks.shape[1],
         )
 
     def symbol_counts(self) -> jax.Array:

@@ -15,41 +15,47 @@ import numpy as np
 
 from ..core import alphabet as ab
 
-_BLOCK = 64
-
-
 class HostFM:
-    """One BWT with O(1) vectorised rank queries (numpy)."""
+    """One BWT with O(1) vectorised rank queries (numpy).
+
+    Uses the same block-128 packed layout as the device FMIndex (see
+    index/pack.py); instances can be built directly from a persisted pack
+    without re-scanning the symbol stream.
+    """
 
     def __init__(self, symbols: np.ndarray, num_strings: int):
-        symbols = np.asarray(symbols, dtype=np.int8)
-        self.symbols = symbols
-        self.n = len(symbols)
-        self.num_strings = num_strings
-        nb = self.n // _BLOCK + 1
-        padded = np.full(nb * _BLOCK, ab.PAD_RANK, dtype=np.int8)
-        padded[: self.n] = symbols
-        self.blocks = padded.reshape(nb, _BLOCK)
-        sums = np.empty((nb, 5), dtype=np.int64)
-        for s in range(5):
-            sums[:, s] = (self.blocks == s).sum(axis=1)
-        self.ckpt = np.zeros((nb + 1, 5), dtype=np.int64)
-        self.ckpt[1:] = np.cumsum(sums, axis=0)
-        counts = self.ckpt[-1]
-        self.C = np.zeros(6, dtype=np.int64)
-        self.C[1:] = np.cumsum(counts)
+        from .pack import pack_symbols
+
+        blocks, ckpt, C = pack_symbols(symbols)
+        self._init_from(blocks, ckpt, C, len(symbols), num_strings)
+
+    @classmethod
+    def from_pack(cls, blocks, ckpt, C, n, num_strings) -> "HostFM":
+        self = cls.__new__(cls)
+        self._init_from(blocks, ckpt, C, n, num_strings)
+        return self
+
+    def _init_from(self, blocks, ckpt, C, n, num_strings):
+        self.blocks = blocks
+        self.ckpt = ckpt                     # i32 [nb, 5], counts before block
+        self.C32 = np.asarray(C, np.int32)   # shared with the device layout
+        self.C = self.C32.astype(np.int64)
+        self.n = int(n)
+        self.num_strings = int(num_strings)
+        self.block = blocks.shape[1]
+        self.symbols = blocks.reshape(-1)[: self.n]  # view (lazy for mmap)
 
     # --- rank/LF ---------------------------------------------------------
     def occ(self, sym, idx):
         """occurrences of sym in BWT[0..idx]; vectorised over arrays."""
         sym = np.asarray(sym, dtype=np.int64)
         p = np.asarray(idx, dtype=np.int64) + 1
-        q, r = p // _BLOCK, p % _BLOCK
+        q, r = p // self.block, p % self.block
         rows = self.blocks[q]
         hits = (rows == sym[..., None].astype(np.int8)) & (
-            np.arange(_BLOCK) < r[..., None]
+            np.arange(self.block) < r[..., None]
         )
-        return self.ckpt[q, sym] + hits.sum(axis=-1, dtype=np.int64)
+        return self.ckpt[q, sym].astype(np.int64) + hits.sum(axis=-1, dtype=np.int64)
 
     def pc(self, sym):
         return self.C[np.asarray(sym, dtype=np.int64)]
