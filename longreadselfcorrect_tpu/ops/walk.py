@@ -272,70 +272,219 @@ WalkState = _register(
 # host-side batch construction
 # ---------------------------------------------------------------------------
 
-def build_batch(host_ix, tasks: list[GapTask], cfg: WalkConfig,
-                pacbio_error_rate: float, pb_coverage: int):
-    """Build WalkConsts/WalkState for a batch of gap tasks (host numpy)."""
-    G, L = cfg.G, cfg.L
-    assert len(tasks) <= G
-    ed = cfg.err_dtype
+def _dev_index_of(host_ix) -> IndexSet:
+    """Device IndexSet wrapping a HostIndexSet's packed arrays (cached)."""
+    dix = getattr(host_ix, "_dev_ix", None)
+    if dix is None:
+        from ..index.fmindex import FMIndex
 
-    def zeros(shape, dtype=np.int32):
-        return np.zeros(shape, dtype)
+        dix = IndexSet(
+            bwt=FMIndex.from_pack(host_ix.bwt.blocks, host_ix.bwt.ckpt,
+                                  host_ix.bwt.C32, host_ix.bwt.n,
+                                  host_ix.bwt.num_strings),
+            rbwt=FMIndex.from_pack(host_ix.rbwt.blocks, host_ix.rbwt.ckpt,
+                                   host_ix.rbwt.C32, host_ix.rbwt.n,
+                                   host_ix.rbwt.num_strings),
+        )
+        host_ix._dev_ix = dix
+    return dix
+
+
+@partial(jax.jit, static_argnames=("cfg", "kb_term", "kb_root"))
+def _prep_batch(ix: IndexSet, query, q_len, trg, trg_len, n_term, init_k,
+                max_overlap, min_overlap, min_sa, max_indel, max_length,
+                min_length, no_term, used, freqs, pacbio_e,
+                cfg: WalkConfig, kb_term: int, kb_root: int):
+    """All FM-derived batch setup in one device dispatch.
+
+    Computes what the reference's LongReadCorrectByOverlap constructor does
+    per gap (terminal intervals for every target suffix
+    LongReadCorrectByOverlap.cpp:82-88, the two query-seed code tables
+    :90-95,127-152, the root leaf interval and its chain ring) as batched
+    backward searches over all G lanes at once.
+    """
+    G, L = cfg.G, cfg.L
+    ed = cfg.err_dtype
+    PAD = ab.PAD_RANK
+    q32 = query.astype(I32)
+
+    # --- packed idmer / 5-mer code tables over the query -------------------
+    qpad = jnp.pad(q32, ((0, 0), (0, cfg.seed_size)), constant_values=PAD)
+
+    def codes(k):
+        c = jnp.zeros((G, cfg.QMAX), I32)
+        for j in range(k):
+            c = (c << 3) | qpad[:, j : j + cfg.QMAX]
+        n = q_len - k + 1
+        pos = jnp.arange(cfg.QMAX, dtype=I32)[None, :]
+        return jnp.where(pos < n[:, None], c, -1)
+
+    qcode9 = codes(cfg.seed_size)
+    qcode5 = codes(5)
+
+    # --- terminal intervals: window m of trg, length min_overlap ------------
+    t32 = trg.astype(I32)
+    m = jnp.arange(cfg.TMAX, dtype=I32)[None, :]
+
+    def tchar(j):
+        return jnp.clip(jnp.take_along_axis(t32, m + j, axis=1), 1, 4)
+
+    st = rank.init_bi(ix, tchar(0))
+    for j in range(1, kb_term):
+        ns = rank.extend_bi(ix, st, tchar(j))
+        live = j < min_overlap[:, None]
+        st = tuple(jnp.where(live, n_, o_) for n_, o_ in zip(ns, st))
+    valid_m = m < n_term[:, None]
+    term_f = jnp.stack([jnp.where(valid_m, st[0], 1),
+                        jnp.where(valid_m, st[1], 0)], axis=-1)
+    term_r = jnp.stack([jnp.where(valid_m, st[2], 1),
+                        jnp.where(valid_m, st[3], 0)], axis=-1)
+
+    # --- root leaf interval: query[:init_k] left-to-right -------------------
+    rst = rank.init_bi(ix, jnp.clip(q32[:, 0], 1, 4))
+    for j in range(1, kb_root):
+        ns = rank.extend_bi(ix, rst, jnp.clip(q32[:, j], 1, 4))
+        live = j < init_k
+        rst = tuple(jnp.where(live, n_, o_) for n_, o_ in zip(ns, rst))
+    root_freq = rank.interval_size(rst[0], rst[1]) + rank.interval_size(rst[2], rst[3])
+
+    # --- chain ring of the root leaf: suffixes of length CACHE_K..KMAX ------
+    NC = cfg.NCHAIN
+    ks = CACHE_K + jnp.arange(NC, dtype=I32)[None, :]       # [1, NC]
+    start = init_k[:, None] - ks                            # [G, NC]
+
+    def cchar(i):
+        pos = jnp.clip(start + i, 0, cfg.QMAX - 1)
+        return jnp.clip(jnp.take_along_axis(q32, pos, axis=1), 1, 4)
+
+    cst = rank.init_bi(ix, cchar(0))
+    for i in range(1, kb_root):
+        ns = rank.extend_bi(ix, cst, cchar(i))
+        live = i < ks
+        cst = tuple(jnp.where(live, n_, o_) for n_, o_ in zip(ns, cst))
+    ok = ks <= init_k[:, None]
+    chain0 = jnp.stack([
+        jnp.where(ok, cst[0], 0), jnp.where(ok, cst[1], -1),
+        jnp.where(ok, cst[2], 0), jnp.where(ok, cst[3], -1),
+    ], axis=1)                                              # [G, 4, NC]
+
+    # --- root label tail metadata ------------------------------------------
+    i9 = jnp.arange(cfg.seed_size, dtype=I32)
+    pos9 = init_k[:, None] - cfg.seed_size + i9[None, :]
+    ch9 = jnp.take_along_axis(q32, jnp.clip(pos9, 0, cfg.QMAX - 1), axis=1)
+    tail9_0 = jnp.zeros(G, I32)
+    for i in range(cfg.seed_size):
+        tail9_0 = jnp.where(pos9[:, i] >= 0, (tail9_0 << 3) | ch9[:, i], tail9_0)
+    i8 = jnp.arange(CACHE_K, dtype=I32)
+    pos8 = init_k[:, None] - CACHE_K + i8[None, :]
+    ch8 = jnp.take_along_axis(q32, jnp.clip(pos8, 0, cfg.QMAX - 1), axis=1)
+    tail8_0 = jnp.zeros(G, I32)
+    for i in range(CACHE_K):
+        tail8_0 = jnp.where(
+            pos8[:, i] >= 0,
+            ((tail8_0 << 2) | (ch8[:, i] - 1)) & ((1 << (2 * CACHE_K)) - 1),
+            tail8_0,
+        )
+    last = jnp.clip(init_k - 1, 0, cfg.QMAX - 1)
+    tail_letter_0 = jnp.take_along_axis(query, last[:, None], axis=1)[:, 0]
+    back = init_k[:, None] - 1 - jnp.arange(cfg.KMAX, dtype=I32)[None, :]
+    chb = jnp.take_along_axis(q32, jnp.clip(back, 0, cfg.QMAX - 1), axis=1)
+    eq = (chb == chb[:, :1]) & (back >= 0)
+    tail_count_0 = jnp.sum(jnp.cumprod(eq.astype(I32), axis=1), axis=1)
+
+    # --- assemble consts + state -------------------------------------------
+    consts = WalkConsts(
+        query=query, q_len=q_len, trg=trg, trg_len=trg_len, n_term=n_term,
+        term_f=term_f, term_r=term_r, qcode9=qcode9, qcode5=qcode5,
+        init_k=init_k, max_overlap=max_overlap, min_overlap=min_overlap,
+        min_sa=min_sa, max_indel=max_indel, max_length=max_length,
+        min_length=min_length, no_term=no_term, freqs=freqs,
+        pacbio_e=pacbio_e, err_bound=jnp.float32(0.25),
+    )
+    leaf0 = (jnp.arange(L, dtype=I32) == 0)[None, :]        # [1, L]
+    u_l = used[:, None] & leaf0                             # [G, L]
+    iota_m = jnp.arange(cfg.MAXLEN, dtype=I32)[None, :]
+    qm = query[:, : cfg.MAXLEN]
+    if cfg.MAXLEN > cfg.QMAX:
+        qm = jnp.pad(qm, ((0, 0), (0, cfg.MAXLEN - cfg.QMAX)),
+                     constant_values=PAD)
+    lab0 = jnp.where(iota_m < init_k[:, None], qm, jnp.int8(PAD))
+    labels = jnp.where(u_l[..., None], lab0[:, None, :], jnp.int8(PAD))
+
+    def put(val, fill=0):
+        return jnp.where(u_l, val[:, None], jnp.asarray(fill, I32))
+
+    GL = (G, L)
+    chain = jnp.where(
+        u_l[:, :, None, None], chain0[:, None],
+        jnp.asarray([0, -1, 0, -1], I32)[None, None, :, None],
+    )
+    state = WalkState(
+        labels=labels,
+        f_lo=put(rst[0]), f_hi=put(rst[1], -1),
+        r_lo=put(rst[2]), r_hi=put(rst[3], -1),
+        alive=u_l,
+        kmer_freq=put(root_freq),
+        total_kmer=jnp.zeros(GL, I32),  # root node never calls addKmerCount
+        last_seed_idx=put(init_k - cfg.seed_size),
+        last_overlap_len=put(init_k),
+        total_seeds=put(init_k - cfg.seed_size + 1),
+        curr_overlap_len=put(init_k),
+        num_errors=jnp.zeros(GL, I32),
+        seed_idx_offset=jnp.zeros(GL, I32),
+        query_overlap_len=put(init_k),
+        redeem=jnp.zeros(GL, ed),
+        res_first=jnp.full(GL, -1, I32),
+        res_second=jnp.full(GL, -1, I32),
+        tail_letter=jnp.where(u_l, tail_letter_0[:, None], jnp.int8(0)),
+        tail_count=put(tail_count_0),
+        tail9=put(tail9_0),
+        tail8=put(tail8_0),
+        chain=chain,
+        local_err=jnp.zeros(GL, ed),
+        gerr_last=jnp.zeros(GL, ed),
+        ring=jnp.zeros((G, L, cfg.RING), ed),
+        active=used,
+        cur_len=jnp.where(used, init_k, 0),
+        cur_k=jnp.where(used, init_k, 0),
+        gerr_n=jnp.where(used, 1, 0).astype(I32),
+        code=jnp.zeros(G, I32),
+        res_labels=jnp.full((G, cfg.RMAX, cfg.MAXLEN), ab.PAD_RANK, jnp.int8),
+        res_len=jnp.zeros((G, cfg.RMAX), I32),
+        res_err=jnp.zeros((G, cfg.RMAX), ed),
+        res_i=jnp.zeros((G, cfg.RMAX), I32),
+        res_count=jnp.zeros(G, I32),
+        res_overflow=jnp.zeros(G, bool),
+    )
+    return consts, state
+
+
+def build_batch(host_ix, tasks: list[GapTask], cfg: WalkConfig,
+                pacbio_error_rate: float, pb_coverage: int, dev_ix=None):
+    """Build WalkConsts/WalkState for a batch of gap tasks.
+
+    Host work is just string encoding + small scalar derivation; every
+    FM-index query (terminal intervals, root interval, chain ring) runs in
+    one jitted device prep kernel, and the big state buffers are created
+    directly on the device.
+    """
+    G = cfg.G
+    assert len(tasks) <= G
 
     query = np.full((G, cfg.QMAX), ab.PAD_RANK, np.int8)
-    q_len = zeros(G)
+    q_len = np.zeros(G, np.int32)
     trg = np.full((G, cfg.TMAX + cfg.KMAX), ab.PAD_RANK, np.int8)
-    trg_len = zeros(G)
-    n_term = zeros(G)
-    term_f = np.tile(np.array([1, 0], np.int32), (G, cfg.TMAX, 1))
-    term_r = term_f.copy()
-    qcode9 = np.full((G, cfg.QMAX), -1, np.int32)
-    qcode5 = np.full((G, cfg.QMAX), -1, np.int32)
-    init_k = zeros(G); max_overlap = zeros(G); min_overlap = np.full(G, 13, np.int32)
-    min_sa = np.full(G, 3, np.int32); max_indel = zeros(G)
-    max_length = zeros(G); min_length = zeros(G)
+    trg_len = np.zeros(G, np.int32)
+    n_term = np.zeros(G, np.int32)
+    init_k = np.zeros(G, np.int32)
+    max_overlap = np.zeros(G, np.int32)
+    min_overlap = np.full(G, 13, np.int32)
+    min_sa = np.full(G, 3, np.int32)
+    max_indel = np.zeros(G, np.int32)
+    max_length = np.zeros(G, np.int32)
+    min_length = np.zeros(G, np.int32)
     no_term = np.zeros(G, bool)
-
-    labels = np.full((G, L, cfg.MAXLEN), ab.PAD_RANK, np.int8)
-    f_lo = zeros((G, L)); f_hi = np.full((G, L), -1, np.int32)
-    r_lo = zeros((G, L)); r_hi = np.full((G, L), -1, np.int32)
-    alive = np.zeros((G, L), bool)
-    tail_letter = np.zeros((G, L), np.int8)
-    tail_count = zeros((G, L))
-    tail9 = zeros((G, L))
-    tail8 = zeros((G, L))
-    chain = np.zeros((G, L, 4, cfg.NCHAIN), np.int32)
-    chain[..., 1, :] = -1  # f_hi
-    chain[..., 3, :] = -1  # r_hi
-    beg_pad = np.zeros((G, cfg.KMAX), np.int64)  # right-aligned root labels
-    last_seed_idx = zeros((G, L)); total_seeds = zeros((G, L))
-    last_overlap_len = zeros((G, L)); curr_overlap_len = zeros((G, L))
-    query_overlap_len = zeros((G, L))
-    kmer_freq = zeros((G, L))
-    cur_len = zeros(G); cur_k = zeros(G)
-    active = np.zeros(G, bool)
-
-    def windows_intervals(q_enc, k):
-        if len(q_enc) < k:
-            return np.zeros((0, 2), np.int64), np.zeros((0, 2), np.int64)
-        win = np.lib.stride_tricks.sliding_window_view(q_enc, k)
-        flo, fhi = host_ix.rbwt.find_interval(win[:, ::-1])
-        rlo, rhi = host_ix.bwt.find_interval(ab.complement(win)[:, ::-1])
-        return np.stack([flo, fhi], 1), np.stack([rlo, rhi], 1)
-
-    def pack_codes(q_enc, k):
-        """3-bit-packed k-mer code at every query position (-1 where the
-        window leaves the sequence)."""
-        n = len(q_enc) - k + 1
-        out = np.full(cfg.QMAX, -1, np.int32)
-        if n <= 0:
-            return out
-        win = np.lib.stride_tricks.sliding_window_view(q_enc, k).astype(np.int64)
-        code = np.zeros(n, np.int64)
-        for j in range(k):
-            code = (code << 3) | win[:, j]
-        out[:n] = code.astype(np.int32)
-        return out
+    used = np.zeros(G, bool)
 
     for g, t in enumerate(tasks):
         beginning = t.src[len(t.src) - t.init_k:]
@@ -348,12 +497,13 @@ def build_batch(host_ix, tasks: list[GapTask], cfg: WalkConfig,
         trg_enc = ab.encode(t.trg)
         trg[g, : len(trg_enc)] = trg_enc
         trg_len[g] = len(t.trg)
+        n_term[g] = max(len(t.trg) - t.min_overlap + 1, 0)
         init_k[g] = t.init_k
         max_overlap[g] = t.max_overlap
         min_overlap[g] = t.min_overlap
         min_sa[g] = t.min_sa_threshold
         assert t.max_overlap + 1 <= cfg.KMAX and t.init_k <= cfg.KMAX
-        assert t.min_overlap >= CACHE_K + 2, "chain cache requires minOverlap >= CACHE_K+2" 
+        assert t.min_overlap >= CACHE_K + 2, "chain cache requires minOverlap >= CACHE_K+2"
         max_indel[g] = int(t.dis * 0.2) if t.dis > 100 else 20
         v = 1.2 * (t.dis + 10) + 2 * t.init_k
         max_length[g] = int(v)
@@ -363,126 +513,28 @@ def build_batch(host_ix, tasks: list[GapTask], cfg: WalkConfig,
         else:
             no_term[g] = True  # size_t wrap: termination never fires
         assert max_length[g] + 2 <= cfg.MAXLEN, (max_length[g], cfg.MAXLEN)
-
-        # terminal intervals
-        tw_f, tw_r = windows_intervals(trg_enc, t.min_overlap)
-        n = len(tw_f)
-        n_term[g] = n
-        term_f[g, :n] = tw_f
-        term_r[g, :n] = tw_r
-        # idmer / 5-mer packed-code arrays (containment on equal-length
-        # k-mer SA intervals == suffix string equality)
-        qcode9[g] = pack_codes(q_enc, cfg.seed_size)
-        qcode5[g] = pack_codes(q_enc, 5)
         assert cfg.WSCAN >= 2 * max_indel[g] + cfg.seed_size * 2 + 3
-
-        # root leaf
-        b_enc = ab.encode(beginning)
-        flo, fhi = host_ix.rbwt.find_interval(b_enc[::-1])
-        rlo, rhi = host_ix.bwt.find_interval(ab.complement(b_enc)[::-1])
-        labels[g, 0, : len(b_enc)] = b_enc
-        f_lo[g, 0], f_hi[g, 0] = int(flo), int(fhi)
-        r_lo[g, 0], r_hi[g, 0] = int(rlo), int(rhi)
-        alive[g, 0] = True
-        tail_letter[g, 0] = b_enc[-1]
-        run = 1
-        for c in b_enc[::-1][1:]:
-            if c == b_enc[-1]:
-                run += 1
-            else:
-                break
-        tail_count[g, 0] = run
-        code9 = 0
-        for c in b_enc[-cfg.seed_size:]:
-            code9 = (code9 << 3) | int(c)
-        tail9[g, 0] = code9
-        code8 = 0
-        for c in b_enc[-CACHE_K:]:
-            code8 = ((code8 << 2) | (int(c) - 1)) & ((1 << (2 * CACHE_K)) - 1)
-        tail8[g, 0] = code8
-        beg_pad[g, max(cfg.KMAX - len(b_enc), 0):] = b_enc[-cfg.KMAX:]
-        last_seed_idx[g, 0] = t.init_k - cfg.seed_size
-        total_seeds[g, 0] = t.init_k - cfg.seed_size + 1
-        last_overlap_len[g, 0] = curr_overlap_len[g, 0] = t.init_k
-        query_overlap_len[g, 0] = t.init_k
-        kmer_freq[g, 0] = max(fhi - flo + 1, 0) + max(rhi - rlo + 1, 0)
-        cur_len[g] = t.init_k
-        cur_k[g] = t.init_k
-        active[g] = True
-
-    # seed the chain ring of the root leaf: slot j = walk-convention interval
-    # of the root-label suffix of length CACHE_K+j (valid where <= init_k);
-    # one vectorised find_interval over all gaps per length
-    for k in range(CACHE_K, cfg.KMAX + 1):
-        word = np.clip(beg_pad[:, cfg.KMAX - k:], 1, 4)
-        flo, fhi = host_ix.rbwt.find_interval(word[:, ::-1])
-        comp_w = 5 - word
-        rlo, rhi = host_ix.bwt.find_interval(comp_w[:, ::-1])
-        j = k - CACHE_K
-        ok = k <= init_k
-        chain[:, 0, 0, j] = np.where(ok, flo, 0)
-        chain[:, 0, 1, j] = np.where(ok, fhi, -1)
-        chain[:, 0, 2, j] = np.where(ok, rlo, 0)
-        chain[:, 0, 3, j] = np.where(ok, rhi, -1)
+        used[g] = True
 
     freqs = np.zeros(101, np.float32)
     mo = min((t.min_overlap for t in tasks), default=13)
     for i in range(mo, 101):
         freqs[i] = ((1 - pacbio_error_rate) ** i) * pb_coverage
 
-    consts = WalkConsts(
-        query=jnp.asarray(query), q_len=jnp.asarray(q_len),
-        trg=jnp.asarray(trg), trg_len=jnp.asarray(trg_len),
-        n_term=jnp.asarray(n_term),
-        term_f=jnp.asarray(term_f), term_r=jnp.asarray(term_r),
-        qcode9=jnp.asarray(qcode9), qcode5=jnp.asarray(qcode5),
-        init_k=jnp.asarray(init_k), max_overlap=jnp.asarray(max_overlap),
-        min_overlap=jnp.asarray(min_overlap), min_sa=jnp.asarray(min_sa),
-        max_indel=jnp.asarray(max_indel), max_length=jnp.asarray(max_length),
-        min_length=jnp.asarray(min_length), no_term=jnp.asarray(no_term),
-        freqs=jnp.asarray(freqs),
-        pacbio_e=jnp.float32(pacbio_error_rate),
-        err_bound=jnp.float32(0.25),
+    ix = dev_ix if dev_ix is not None else _dev_index_of(host_ix)
+    if isinstance(ix, WalkIndex):
+        ix = ix.ix
+    kb_term = max(int(min_overlap.max()), 2) if tasks else 2
+    kb_root = max(int(init_k.max()), 2) if tasks else 2
+    return _prep_batch(
+        ix, jnp.asarray(query), jnp.asarray(q_len), jnp.asarray(trg),
+        jnp.asarray(trg_len), jnp.asarray(n_term), jnp.asarray(init_k),
+        jnp.asarray(max_overlap), jnp.asarray(min_overlap),
+        jnp.asarray(min_sa), jnp.asarray(max_indel), jnp.asarray(max_length),
+        jnp.asarray(min_length), jnp.asarray(no_term), jnp.asarray(used),
+        jnp.asarray(freqs), jnp.float32(pacbio_error_rate),
+        cfg=cfg, kb_term=kb_term, kb_root=kb_root,
     )
-    GL = (G, L)
-    state = WalkState(
-        labels=jnp.asarray(labels),
-        f_lo=jnp.asarray(f_lo), f_hi=jnp.asarray(f_hi),
-        r_lo=jnp.asarray(r_lo), r_hi=jnp.asarray(r_hi),
-        alive=jnp.asarray(alive),
-        kmer_freq=jnp.asarray(kmer_freq),
-        total_kmer=jnp.zeros(GL, I32),  # root node never calls addKmerCount
-        last_seed_idx=jnp.asarray(last_seed_idx),
-        last_overlap_len=jnp.asarray(last_overlap_len),
-        total_seeds=jnp.asarray(total_seeds),
-        curr_overlap_len=jnp.asarray(curr_overlap_len),
-        num_errors=jnp.zeros(GL, I32),
-        seed_idx_offset=jnp.zeros(GL, I32),
-        query_overlap_len=jnp.asarray(query_overlap_len),
-        redeem=jnp.zeros(GL, ed),
-        res_first=jnp.full(GL, -1, I32),
-        res_second=jnp.full(GL, -1, I32),
-        tail_letter=jnp.asarray(tail_letter),
-        tail_count=jnp.asarray(tail_count),
-        tail9=jnp.asarray(tail9),
-        tail8=jnp.asarray(tail8),
-        chain=jnp.asarray(chain),
-        local_err=jnp.zeros(GL, ed),
-        gerr_last=jnp.zeros(GL, ed),
-        ring=jnp.zeros((G, L, cfg.RING), ed),
-        active=jnp.asarray(active),
-        cur_len=jnp.asarray(cur_len),
-        cur_k=jnp.asarray(cur_k),
-        gerr_n=jnp.where(jnp.asarray(active), 1, 0).astype(I32),
-        code=jnp.zeros(G, I32),
-        res_labels=jnp.full((G, cfg.RMAX, cfg.MAXLEN), ab.PAD_RANK, jnp.int8),
-        res_len=jnp.zeros((G, cfg.RMAX), I32),
-        res_err=jnp.zeros((G, cfg.RMAX), ed),
-        res_i=jnp.zeros((G, cfg.RMAX), I32),
-        res_count=jnp.zeros(G, I32),
-        res_overflow=jnp.zeros(G, bool),
-    )
-    return consts, state
 
 
 # ---------------------------------------------------------------------------
@@ -1176,9 +1228,18 @@ def run_gap_batch(host_ix, dev_ix, tasks, cfg: WalkConfig,
     Returns list of (code, merged_seq) aligned with tasks.  Gaps whose result
     buffer overflowed are replayed on the host engine by the caller (flag code
     -100)."""
+    import os as _os, sys as _sys, time as _time
+    _dbg = _os.environ.get("LRSC_DEBUG_TIMING")
     wx = dev_ix if isinstance(dev_ix, WalkIndex) else WalkIndex.build(dev_ix, host_ix)
-    consts, state = build_batch(host_ix, tasks, cfg, pacbio_error_rate, pb_coverage)
+    _t0 = _time.time()
+    consts, state = build_batch(host_ix, tasks, cfg, pacbio_error_rate,
+                                pb_coverage, dev_ix=wx.ix)
+    _t1 = _time.time()
     state = run_to_completion(wx, consts, state, cfg, max_steps)
+    state.code.block_until_ready()
+    if _dbg:
+        print(f"[timing]   gap_batch n={len(tasks)} G={cfg.G}: build {_t1-_t0:.2f}s"
+              f" device {_time.time()-_t1:.2f}s", file=_sys.stderr, flush=True)
     state_np = {
         "code": np.asarray(state.code),
         "res_count": np.asarray(state.res_count),
