@@ -27,19 +27,26 @@ class BatchedSelfCorrector(SelfCorrector):
     def __init__(self, ix, dev_ix, params: CorrectionParams, thresh=None,
                  cfg: walk.WalkConfig | None = None):
         super().__init__(ix, params, thresh)
+        from dataclasses import replace as _rep
+
+        # chain-ring bottom length: larger indexes use a deeper interval
+        # cache so the slot-0 interval is narrow enough to anchor occ slabs
+        ck = 12 if ix.bwt.n > (1 << 24) else walk.CACHE_K
         self.wx = (
             dev_ix if isinstance(dev_ix, walk.WalkIndex)
-            else walk.WalkIndex.build(dev_ix, ix)
+            else walk.WalkIndex.build(dev_ix, ix, ck=ck)
         )
-        self.cfg = cfg or walk.WalkConfig(G=512, MAXLEN=768, QMAX=768, WSCAN=320)
+        ck = self.wx.fused.ck
+        cfg = cfg or walk.WalkConfig(G=512, MAXLEN=768, QMAX=768, WSCAN=320)
+        self.cfg = _rep(cfg, CK=ck, SLAB=True)
         # wide/long buckets for gaps that exceed the primary config's windows
         self.cfg_big = walk.WalkConfig(
             G=128, MAXLEN=1536, QMAX=1536, WSCAN=576, TMAX=self.cfg.TMAX,
-            KMAX=self.cfg.KMAX,
+            KMAX=self.cfg.KMAX, CK=ck, SLAB=True,
         )
         self.cfg_huge = walk.WalkConfig(
             G=64, MAXLEN=2816, QMAX=2816, WSCAN=1120, TMAX=self.cfg.TMAX,
-            KMAX=self.cfg.KMAX,
+            KMAX=self.cfg.KMAX, CK=ck, SLAB=True,
         )
         self._prefetch: dict = {}
         self.stats = {"prefetch_hit": 0, "prefetch_miss": 0, "host_fallback": 0}
@@ -210,18 +217,25 @@ class BatchedSelfCorrector(SelfCorrector):
         return out
 
     def _run_tasks(self, tasks, keys):
+        from dataclasses import replace as _rep
+
         # route to the primary or the wide/long config; batch by expected
-        # walk depth so a chunk's lanes finish together
-        small, big, huge = [], [], []
+        # walk depth so a chunk's lanes finish together.  Gaps whose initial
+        # label is shorter than the chain-cache word can't use slab occ and
+        # run on the dense-gather engine instead.
+        small, big, huge, dense = [], [], [], []
         for i, t in enumerate(tasks):
-            if self._task_fits(t.src, t.path, t.trg, t.dis, t.init_k):
+            if t.init_k < self.cfg.CK:
+                dense.append(i)
+            elif self._task_fits(t.src, t.path, t.trg, t.dis, t.init_k):
                 small.append(i)
             elif self._task_fits(t.src, t.path, t.trg, t.dis, t.init_k, self.cfg_big):
                 big.append(i)
             else:
                 huge.append(i)
+        cfg_dense = _rep(self.cfg_huge, SLAB=False, G=32)
         for sel_all, cfg in ((small, self.cfg), (big, self.cfg_big),
-                             (huge, self.cfg_huge)):
+                             (huge, self.cfg_huge), (dense, cfg_dense)):
             order = sorted(sel_all, key=lambda i: tasks[i].dis)
             for base in range(0, len(order), cfg.G):
                 sel = order[base : base + cfg.G]

@@ -57,8 +57,24 @@ def _dir(prefix: str) -> str:
     return prefix + ".pack"
 
 
+_SOURCE_EXTS = (".bwt.npz", ".rbwt.npz", ".bwtraw", ".rbwtraw")
+
+
+def _source_stamp(prefix: str):
+    """[(ext, mtime_ns, size)] of the index source artifacts; detects a
+    rebuilt index so a stale pack is never served (a `lrsc index` rerun
+    must invalidate the persisted pack)."""
+    out = []
+    for ext in _SOURCE_EXTS:
+        p = prefix + ext
+        if os.path.exists(p):
+            st = os.stat(p)
+            out.append([ext, st.st_mtime_ns, st.st_size])
+    return out
+
+
 def save_pack(prefix: str, fwd_pack, rev_pack, num_strings: tuple[int, int],
-              nsyms: tuple[int, int], wcache=None, fcache=None) -> None:
+              nsyms: tuple[int, int], wcache=None) -> None:
     d = _dir(prefix)
     os.makedirs(d, exist_ok=True)
     for tag, (blocks, ckpt, C) in (("fwd", fwd_pack), ("rev", rev_pack)):
@@ -67,13 +83,13 @@ def save_pack(prefix: str, fwd_pack, rev_pack, num_strings: tuple[int, int],
         np.save(os.path.join(d, f"{tag}.C.npy"), C)
     if wcache is not None:
         np.save(os.path.join(d, "wcache.npy"), wcache)
-        np.save(os.path.join(d, "fcache.npy"), fcache)
     meta = {
         "version": PACK_VERSION,
         "block": PACK_BLOCK,
         "cache_k": None if wcache is None else _cache_k(len(wcache)),
         "num_strings": list(num_strings),
         "num_symbols": list(nsyms),
+        "source": _source_stamp(prefix),
     }
     with open(os.path.join(d, "meta.json"), "w") as fh:
         json.dump(meta, fh)
@@ -96,6 +112,8 @@ def load_pack(prefix: str):
         meta = json.load(fh)
     if meta.get("version") != PACK_VERSION or meta.get("block") != PACK_BLOCK:
         return None
+    if meta.get("source") != _source_stamp(prefix):
+        return None  # index was rebuilt since this pack was written
     out = {"meta": meta}
     for tag in ("fwd", "rev"):
         for part in ("blocks", "ckpt", "C"):
@@ -103,9 +121,8 @@ def load_pack(prefix: str):
             if not os.path.exists(p):
                 return None
             out[f"{tag}.{part}"] = np.load(p, mmap_mode="r")
-    for part in ("wcache", "fcache"):
-        p = os.path.join(d, f"{part}.npy")
-        out[part] = np.load(p, mmap_mode="r") if os.path.exists(p) else None
+    p = os.path.join(d, "wcache.npy")
+    out["wcache"] = np.load(p, mmap_mode="r") if os.path.exists(p) else None
     return out
 
 
@@ -128,15 +145,16 @@ def open_index(prefix: str, device: bool = True, build_caches: bool = True):
             HostFM.from_pack(*fwd_pack, fwd.num_symbols, fwd.num_strings),
             HostFM.from_pack(*rev_pack, rev.num_symbols, rev.num_strings),
         )
-        wc = fc = None
+        wc = None
         if build_caches:
             from ..ops import walk
 
-            wc, fc = walk._build_kmer_caches(hix)
-            hix._kmer_caches = (wc, fc)
+            (wc,) = walk._build_kmer_caches(hix)
+            hix._kmer_cache8 = wc
         save_pack(prefix, fwd_pack, rev_pack,
                   (fwd.num_strings, rev.num_strings),
-                  (fwd.num_symbols, rev.num_symbols), wc, fc)
+                  (fwd.num_symbols, rev.num_symbols), wc)
+        hix.pack_dir = _dir(prefix)
     else:
         ns = pk["meta"]["num_strings"]
         nsym = pk["meta"]["num_symbols"]
@@ -145,11 +163,8 @@ def open_index(prefix: str, device: bool = True, build_caches: bool = True):
             HostFM.from_pack(pk["rev.blocks"], pk["rev.ckpt"], pk["rev.C"], nsym[1], ns[1]),
         )
         if pk["wcache"] is not None:
-            hix._kmer_caches = (np.asarray(pk["wcache"]), np.asarray(pk["fcache"]))
-        elif build_caches:
-            from ..ops import walk
-
-            hix._kmer_caches = walk._build_kmer_caches(hix)
+            hix._kmer_cache8 = np.asarray(pk["wcache"])
+        hix.pack_dir = _dir(prefix)
     dix = None
     if device:
         dix = IndexSet(

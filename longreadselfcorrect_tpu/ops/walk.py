@@ -36,51 +36,105 @@ I32 = jnp.int32
 NEG = jnp.int32(-(1 << 30))
 
 
-CACHE_K = 8  # cached kmer length for chain seeding (BWTIntervalCache analog)
+CACHE_K = 8  # base cached kmer length for chain seeding (BWTIntervalCache analog)
 
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["blocks", "ckpt", "C_bwt", "C_rbwt", "wcache", "fcache"],
-    meta_fields=["block", "rbwt_row_off"],
+    data_fields=["blocks", "ckpt", "C_bwt", "C_rbwt", "wcache"],
+    meta_fields=["block", "rbwt_row_off", "ck"],
 )
 @dataclass(frozen=True)
 class FusedFM:
     """BWT and RBWT concatenated into one rank table so a chain iteration
-    touching both strands issues a single stacked gather, plus precomputed
-    interval tables for every CACHE_K-mer (exact chain seeding — the values
-    equal what CACHE_K LF steps would produce, cf. BWTIntervalCache /
+    touching both strands issues a single stacked gather, plus a precomputed
+    interval table for every ck-mer (exact chain seeding — the values
+    equal what ck LF steps would produce, cf. BWTIntervalCache /
     findIntervalWithCache BWTAlgorithms.cpp:42-68)."""
 
     blocks: jax.Array      # i8  [nb_bwt + nb_rbwt, B]
     ckpt: jax.Array        # i32 [nb_bwt + nb_rbwt, 5]
     C_bwt: jax.Array       # i32 [6]
     C_rbwt: jax.Array      # i32 [6]
-    wcache: jax.Array      # i32 [4^CK, 4] walk-convention bi-interval of word
-    fcache: jax.Array      # i32 [4^CK, 4] BWT-direct bi-interval of word
+    wcache: jax.Array      # i32 [4^ck, 4] walk-convention bi-interval of word
     block: int
     rbwt_row_off: int
+    ck: int                # cached word length (chain ring bottom slot)
 
     @staticmethod
-    def from_index_set(ix: IndexSet, host_ix) -> "FusedFM":
+    def from_index_set(ix: IndexSet, host_ix, ck: int = CACHE_K) -> "FusedFM":
         assert ix.bwt.block == ix.rbwt.block
-        if not hasattr(host_ix, "_kmer_caches"):
-            host_ix._kmer_caches = _build_kmer_caches(host_ix)
-        wc, fc = host_ix._kmer_caches
-        return FusedFM(
+        fused = FusedFM(
             blocks=jnp.concatenate([ix.bwt.blocks, ix.rbwt.blocks], axis=0),
             ckpt=jnp.concatenate([ix.bwt.ckpt, ix.rbwt.ckpt], axis=0),
             C_bwt=ix.bwt.C,
             C_rbwt=ix.rbwt.C,
-            wcache=jnp.asarray(wc),
-            fcache=jnp.asarray(fc),
+            wcache=jnp.zeros((1, 4), I32),  # placeholder, replaced below
             block=ix.bwt.block,
             rbwt_row_off=ix.bwt.blocks.shape[0],
+            ck=ck,
         )
+        wc = _get_wcache(ix, host_ix, ck, fused)
+        object.__setattr__(fused, "wcache", jnp.asarray(wc))
+        return fused
+
+
+def _get_wcache(ix: IndexSet, host_ix, ck: int, fused: "FusedFM"):
+    """Walk-convention interval table for all ck-mers; host-built for the
+    base CACHE_K, extended level-by-level on device for larger ck (each
+    level is one batched LF over 4^k lanes), persisted next to the packed
+    index when a pack dir is known."""
+    caches = getattr(host_ix, "_kmer_caches", None)
+    if caches is None:
+        caches = host_ix._kmer_caches = {}
+    if ck in caches:
+        return caches[ck]
+    pack_dir = getattr(host_ix, "pack_dir", None)
+    if ck > CACHE_K and pack_dir is not None:
+        import os
+        path = os.path.join(pack_dir, f"wcache{ck}.npy")
+        if os.path.exists(path):
+            wc = np.load(path, mmap_mode="r")
+            caches[ck] = wc
+            return wc
+    if ck == CACHE_K:
+        wc = getattr(host_ix, "_kmer_cache8", None)
+        if wc is None:
+            wc = _build_kmer_caches(host_ix)[0]
+    else:
+        base = jnp.asarray(np.asarray(_get_wcache(ix, host_ix, CACHE_K, fused)))
+        st = (base[:, 0], base[:, 1], base[:, 2], base[:, 3])
+        for _ in range(ck - CACHE_K):
+            st = _wcache_level_up(fused, *st)
+        wc = np.stack([np.asarray(x) for x in st], axis=1).astype(np.int32)
+        if pack_dir is not None:
+            import os
+            np.save(os.path.join(pack_dir, f"wcache{ck}.npy"), wc)
+    caches[ck] = wc
+    return wc
+
+
+@jax.jit
+def _wcache_level_up(fused, f_lo, f_hi, r_lo, r_hi):
+    """One trie level: children codes = code*4 + (c-1) (append char c)."""
+    n = f_lo.shape[0]
+    sym = jnp.tile(jnp.arange(1, 5, dtype=I32), (n, 1)).reshape(-1)  # per child
+    rep = lambda x: jnp.repeat(x, 4)
+    csym = _comp4(sym)
+    idx4 = jnp.stack([rep(f_lo) - 1, rep(f_hi), rep(r_lo) - 1, rep(r_hi)])
+    sym4 = jnp.stack([sym, sym, csym, csym])
+    in_rbwt = jnp.asarray([True, True, False, False])[:, None]
+    occ4 = occ_fused(fused, sym4, idx4, in_rbwt)
+    return (
+        fused.C_rbwt[sym] + occ4[0],
+        fused.C_rbwt[sym] + occ4[1] - 1,
+        fused.C_bwt[csym] + occ4[2],
+        fused.C_bwt[csym] + occ4[3] - 1,
+    )
 
 
 def _build_kmer_caches(host_ix):
-    """Host-side interval tables for all CACHE_K-mers, built level-by-level
+    """Host-side interval table for all CACHE_K-mers, built level-by-level
     over the 4-ary trie (each level is one batched LF over 4^k lanes, so the
     whole build costs ~1.3x the last level instead of CACHE_K x)."""
     # walk convention (append-extension): code of w = chars left-to-right
@@ -93,22 +147,7 @@ def _build_kmer_caches(host_ix):
         csym = np.tile(sym1, n)
         state = list(host_ix.extend_bi(tuple(rep), csym))
     wcache = np.stack(state, axis=1).astype(np.int32)
-    # BWT-direct convention (prepend-extension): suffix_{j+1} = c + suffix_j
-    # with code_new = c << (2*j) | code_old
-    f_lo, f_hi = host_ix.bwt.init_interval(sym1)
-    r_lo, r_hi = host_ix.rbwt.init_interval(5 - sym1)
-    state = [f_lo, f_hi, r_lo, r_hi]
-    for j in range(1, CACHE_K):
-        n = len(state[0])
-        tiled = [np.tile(x, 4) for x in state]
-        c = np.repeat(sym1, n)          # new leading char
-        nf = host_ix.bwt.update_interval(tiled[0], tiled[1], c)
-        nr = host_ix.rbwt.update_interval(tiled[2], tiled[3], 5 - c)
-        state = [nf[0], nf[1], nr[0], nr[1]]
-        # reorder from (c, old) tiling to code = (c-1) << 2j | old — the
-        # tile/repeat above already lays codes out as (c-1)*4^j + old
-    fcache = np.stack(state, axis=1).astype(np.int32)
-    return wcache, fcache
+    return (wcache,)
 
 
 def occ_fused(fm: FusedFM, sym, idx, is_rbwt):
@@ -131,9 +170,9 @@ def _register(cls, data, meta=()):
 @dataclass(frozen=True)
 class WalkConfig:
     G: int = 64            # gap lanes
-    L: int = 8             # leaf storage slots (< maxLeaves: gaps that grow
+    L: int = 4             # leaf storage slots (< maxLeaves: gaps that grow
                            # beyond L but <= maxLeaves are re-run at L=32)
-    CAND: int = 32         # transient candidates (4 * L)
+    CAND: int = 16         # transient candidates (4 * L)
     MAXLEN: int = 512      # label buffer (covers maxLength)
     QMAX: int = 512        # query buffer
     TMAX: int = 48         # terminal-interval slots (trg_len - minOverlap + 1)
@@ -143,12 +182,15 @@ class WalkConfig:
     WSCAN: int = 288       # query-position scan window (>= 2*max_indel+21)
     seed_size: int = 9     # idmer length
     max_leaves: int = 32
+    CK: int = CACHE_K      # chain-ring bottom slot length (= wcache word len)
+    SLAB: bool = False     # occ via per-leaf contiguous block slabs
+    SB: int = 6            # slab span in blocks (slot-0 interval must fit)
     err_dtype: type = jnp.float32
 
     @property
     def NCHAIN(self) -> int:
-        """Chain-ring slots: one per suffix length in [CACHE_K, KMAX]."""
-        return self.KMAX - CACHE_K + 1
+        """Chain-ring slots: one per suffix length in [CK, KMAX]."""
+        return self.KMAX - self.CK + 1
 
 
 @dataclass
@@ -348,9 +390,9 @@ def _prep_batch(ix: IndexSet, query, q_len, trg, trg_len, n_term, init_k,
         rst = tuple(jnp.where(live, n_, o_) for n_, o_ in zip(ns, rst))
     root_freq = rank.interval_size(rst[0], rst[1]) + rank.interval_size(rst[2], rst[3])
 
-    # --- chain ring of the root leaf: suffixes of length CACHE_K..KMAX ------
+    # --- chain ring of the root leaf: suffixes of length CK..KMAX -----------
     NC = cfg.NCHAIN
-    ks = CACHE_K + jnp.arange(NC, dtype=I32)[None, :]       # [1, NC]
+    ks = cfg.CK + jnp.arange(NC, dtype=I32)[None, :]        # [1, NC]
     start = init_k[:, None] - ks                            # [G, NC]
 
     def cchar(i):
@@ -375,14 +417,14 @@ def _prep_batch(ix: IndexSet, query, q_len, trg, trg_len, n_term, init_k,
     tail9_0 = jnp.zeros(G, I32)
     for i in range(cfg.seed_size):
         tail9_0 = jnp.where(pos9[:, i] >= 0, (tail9_0 << 3) | ch9[:, i], tail9_0)
-    i8 = jnp.arange(CACHE_K, dtype=I32)
-    pos8 = init_k[:, None] - CACHE_K + i8[None, :]
+    i8 = jnp.arange(cfg.CK, dtype=I32)
+    pos8 = init_k[:, None] - cfg.CK + i8[None, :]
     ch8 = jnp.take_along_axis(q32, jnp.clip(pos8, 0, cfg.QMAX - 1), axis=1)
     tail8_0 = jnp.zeros(G, I32)
-    for i in range(CACHE_K):
+    for i in range(cfg.CK):
         tail8_0 = jnp.where(
             pos8[:, i] >= 0,
-            ((tail8_0 << 2) | (ch8[:, i] - 1)) & ((1 << (2 * CACHE_K)) - 1),
+            ((tail8_0 << 2) | (ch8[:, i] - 1)) & ((1 << (2 * cfg.CK)) - 1),
             tail8_0,
         )
     last = jnp.clip(init_k - 1, 0, cfg.QMAX - 1)
@@ -503,7 +545,7 @@ def build_batch(host_ix, tasks: list[GapTask], cfg: WalkConfig,
         min_overlap[g] = t.min_overlap
         min_sa[g] = t.min_sa_threshold
         assert t.max_overlap + 1 <= cfg.KMAX and t.init_k <= cfg.KMAX
-        assert t.min_overlap >= CACHE_K + 2, "chain cache requires minOverlap >= CACHE_K+2"
+        assert t.min_overlap >= cfg.CK + 1, "chain cache requires minOverlap >= CK+1"
         max_indel[g] = int(t.dis * 0.2) if t.dis > 100 else 20
         v = 1.2 * (t.dis + 10) + 2 * t.init_k
         max_length[g] = int(v)
@@ -545,6 +587,23 @@ def _comp4(sym):
     return jnp.where(sym == 0, 0, 5 - sym)
 
 
+def _osel(arr, idx, axis):
+    """take_along_axis for a SMALL static axis via one-hot where-sum.
+
+    XLA lowers take_along_axis to a hardware gather (~10-25ns per looked-up
+    element on this chip); for the superstep's tiny axes (leaf slots, chain
+    slots, candidates, ring) a vectorised one-hot select is orders of
+    magnitude cheaper.  Semantics match jnp.take_along_axis with broadcast
+    index dims."""
+    n = arr.shape[axis]
+    moved = jnp.moveaxis(arr, axis, -1)[..., None, :]   # [..., 1, n]
+    idxm = jnp.moveaxis(idx, axis, -1)[..., :, None]    # [..., k, 1]
+    sel = idxm == jnp.arange(n, dtype=idxm.dtype)
+    out = jnp.sum(jnp.where(sel, moved, jnp.zeros((), moved.dtype)), axis=-1,
+                  dtype=moved.dtype)
+    return jnp.moveaxis(out, -1, axis)
+
+
 def _select_freqs_of_range(consts, freq3, lower, upper, alive):
     """SelectFreqsOfrange decision ladder (:281-331): per-gap ReduceSize."""
     reduce_size = upper
@@ -560,16 +619,121 @@ def _select_freqs_of_range(consts, freq3, lower, upper, alive):
     return reduce_size
 
 
-def _chain_slot(chain, k):
+def _chain_slot(chain, k, ck=CACHE_K):
     """Ring read: walk-convention interval of the label suffix of per-gap
     length k.  chain [G, L, 4, NCHAIN], k [G] -> 4x [G, L].
 
     Replaces refineSAInterval's LF re-walk (LongReadCorrectByOverlap.cpp
     refineSAInterval / :281-331): slot j was built by the exact same update
     sequence a fresh chain would run, so values are bit-identical."""
-    j = jnp.clip(k - CACHE_K, 0, chain.shape[-1] - 1)
-    sel = jnp.take_along_axis(chain, j[:, None, None, None], axis=3)[..., 0]
+    j = jnp.clip(k - ck, 0, chain.shape[-1] - 1)
+    sel = _osel(chain, j[:, None, None, None], axis=3)[..., 0]
     return sel[..., 0], sel[..., 1], sel[..., 2], sel[..., 3]
+
+
+def _slab_fetch(fx: FusedFM, cfg: WalkConfig, lo0, hi0, rbwt_side: bool):
+    """Fetch the contiguous block slab + ckpt rows covering one side of the
+    chain slot-0 (length-CK label suffix) interval, per (gap, leaf) lane.
+
+    Every occ query the superstep issues for a lane lies at a position
+    p = idx+1 inside [lo0, hi0+1]: chain slots, the leaf interval, and all
+    extension candidates are intervals of suffixes of the same label, and
+    non-empty suffix-family intervals nest inside the shortest (slot 0).
+    So one slab of SB consecutive blocks answers all of them from VMEM
+    instead of ~70 independent HBM gather rows (cf. the per-call run scans
+    of RLBWT::getOcc, SuffixTools/RLBWT.h:121-161).
+
+    Returns (rows i8 [..., SB, BLK], ckr i32 [..., SB, 5], base_q [...],
+    ok [...]).  ok=False <=> the interval is valid but spans more than SB
+    blocks (caller escalates the gap to the dense engine); empty intervals
+    return ok=True and are never actually read.
+    """
+    SB, BLK = cfg.SB, fx.block
+    nb_total = fx.blocks.shape[0]
+    off = fx.rbwt_row_off if rbwt_side else 0
+    nb = (nb_total - fx.rbwt_row_off) if rbwt_side else fx.rbwt_row_off
+    valid = lo0 <= hi0
+    base_q = lo0 // BLK
+    span = (hi0 + 1) // BLK - base_q + 1
+    ok = ~valid | (span <= SB)
+    base_q = jnp.clip(jnp.where(valid, base_q, 0), 0, max(nb - SB, 0))
+    rows_idx = base_q[..., None] + jnp.arange(SB, dtype=I32) + off
+    rows = fx.blocks[rows_idx]          # [..., SB, BLK]
+    ckr = fx.ckpt[rows_idx]             # [..., SB, 5]
+    return rows, ckr, base_q, ok
+
+
+def _slab_occ(slab, sym, idx):
+    """occ(sym, idx) from a fetched slab: sym/idx [..., Q] -> counts [..., Q].
+
+    Same math as occ_fused (p = idx+1; checkpoint + masked row count) with
+    the row read replaced by an on-chip select over the SB resident blocks.
+    Queries whose block falls outside the slab contribute 0 — callers only
+    read such lanes when the result is masked/synthesized.
+    """
+    rows, ckr, base_q, _ = slab
+    SB, BLK = rows.shape[-2], rows.shape[-1]
+    p = (idx + 1).astype(I32)
+    q = p // BLK - base_q[..., None]
+    r = p - (p // BLK) * BLK
+    lane = jnp.arange(BLK, dtype=I32)
+    cnt = jnp.zeros(p.shape, I32)
+    ckv = jnp.zeros(p.shape, I32)
+    sym8 = sym.astype(jnp.int8)
+    sym32 = sym.astype(I32)
+    for sb in range(SB):
+        m = q == sb
+        hits = (rows[..., sb, None, :] == sym8[..., None]) & (
+            lane < r[..., None])
+        cnt = cnt + jnp.where(m, hits.sum(-1, dtype=I32), 0)
+        # checkpoint row select: one-hot arithmetic over the 4 bases — a
+        # take_along_axis here lowers to a (slow) hardware gather per query
+        cks = jnp.zeros(p.shape, I32)
+        for b in range(1, 5):
+            cks = cks + jnp.where(sym32 == b, ckr[..., sb, b][..., None], 0)
+        ckv = ckv + jnp.where(m, cks, 0)
+    return ckv + cnt
+
+
+def _slab_occ_all(slab, idx):
+    """occ of all four bases at idx: idx [..., Q] -> counts [..., Q, 4]."""
+    rows, ckr, base_q, _ = slab
+    SB, BLK = rows.shape[-2], rows.shape[-1]
+    p = (idx + 1).astype(I32)
+    q = p // BLK - base_q[..., None]
+    r = p - (p // BLK) * BLK
+    lane = jnp.arange(BLK, dtype=I32)
+    syms = jnp.arange(1, 5, dtype=jnp.int8)
+    cnt = jnp.zeros(p.shape + (4,), I32)
+    ckv = jnp.zeros(p.shape + (4,), I32)
+    for sb in range(SB):
+        m = (q == sb)[..., None]
+        # [..., Q, BLK, 4]: row symbol == each base, position < r
+        hits = (rows[..., sb, None, :, None] == syms) & (
+            lane < r[..., None])[..., None]
+        cnt = cnt + jnp.where(m, hits.sum(-2, dtype=I32), 0)
+        ckv = ckv + jnp.where(m, ckr[..., sb, None, 1:5], 0)
+    return ckv + cnt
+
+
+def _probe4_slab(fx: FusedFM, slabF, slabR, f_lo, f_hi, r_lo, r_hi):
+    """_probe4 with ranks read from the per-lane slabs."""
+    f_valid = (f_lo <= f_hi)[..., None]
+    occF = _slab_occ_all(slabF, jnp.stack([f_lo - 1, f_hi], axis=-1))
+    Cb = fx.C_rbwt[1:5]
+    nf_lo = Cb + occF[..., 0, :]
+    nf_hi = Cb + occF[..., 1, :] - 1
+    pf_lo = jnp.where(f_valid, nf_lo, f_lo[..., None])
+    pf_hi = jnp.where(f_valid, nf_hi, f_hi[..., None])
+    r_valid = (r_lo <= r_hi)[..., None]
+    occR = _slab_occ_all(slabR, jnp.stack([r_lo - 1, r_hi], axis=-1))
+    Cr = fx.C_bwt[1:5][::-1]
+    nr_lo = Cr + occR[..., 0, ::-1]
+    nr_hi = Cr + occR[..., 1, ::-1] - 1
+    pr_lo = jnp.where(r_valid, nr_lo, r_lo[..., None])
+    pr_hi = jnp.where(r_valid, nr_hi, r_hi[..., None])
+    freq = rank.interval_size(pf_lo, pf_hi) + rank.interval_size(pr_lo, pr_hi)
+    return pf_lo, pf_hi, pr_lo, pr_hi, freq
 
 
 def _probe4(ix: IndexSet, f_lo, f_hi, r_lo, r_hi):
@@ -596,27 +760,19 @@ def _probe4(ix: IndexSet, f_lo, f_hi, r_lo, r_hi):
     return pf_lo, pf_hi, pr_lo, pr_hi, freq
 
 
-def _window_codes(qcodes, base, W: int):
-    """Gather per-gap code slab [G, W] starting at (clamped) base, plus the
-    absolute positions [G, W]."""
-    G, Q = qcodes.shape
-    base = jnp.clip(base, 0, Q - W)
-    pos = base[:, None] + jnp.arange(W, dtype=I32)[None, :]
-    slab = jnp.take_along_axis(qcodes, pos, axis=1)
-    return slab, pos
-
-
 def _match5_any(consts, cfg, codes5, valid, cur_len, max_indel):
     """ismatchedbykmer (:787-821): any query 5-mer equal to the candidate's
     5-suffix within the per-gap position window.
 
-    codes5 [G, X]; window [max(cur_len - indel, 0), cur_len + indel]."""
-    W = cfg.WSCAN
+    codes5 [G, X]; window [max(cur_len - indel, 0), cur_len + indel].
+    Scans the full query code row (a dynamic windowed gather lowers to slow
+    per-element hardware gathers; the compare over QMAX is pure VPU)."""
     lo = jnp.maximum(cur_len - max_indel, 0)
     hi = cur_len + max_indel
-    slab, pos = _window_codes(consts.qcode5, lo, W)
-    in_win = (pos >= lo[:, None]) & (pos <= hi[:, None]) & (slab >= 0)
-    hit = (slab[:, None, :] == codes5[:, :, None]) & in_win[:, None, :]
+    Q = consts.qcode5.shape[1]
+    pos = jnp.arange(Q, dtype=I32)[None, :]
+    in_win = (pos >= lo[:, None]) & (pos <= hi[:, None]) & (consts.qcode5 >= 0)
+    hit = (consts.qcode5[:, None, :] == codes5[:, :, None]) & in_win[:, None, :]
     return jnp.any(hit, axis=-1) & valid
 
 
@@ -626,24 +782,21 @@ def _seed_support_match(consts, cfg, codes9, valid, start_idx, large_idx,
 
     codes9/start_idx [G, X]; large_idx/curr_seed_idx [G, X] (broadcast).
     Tie-break on equal |pos - currSeedIdx|: smaller pos (documented
-    divergence from interval-tree traversal order)."""
-    W = cfg.WSCAN
-    base = curr_seed_idx[:, 0] - W // 2
-    slab, pos = _window_codes(consts.qcode9, base, W)
-    eq = slab[:, None, :] == codes9[:, :, None]
+    divergence from interval-tree traversal order).  Full-row scan, same
+    rationale as _match5_any."""
+    Q = consts.qcode9.shape[1]
+    pos = jnp.arange(Q, dtype=I32)[None, None, :]
+    eq = consts.qcode9[:, None, :] == codes9[:, :, None]
     in_win = (
-        (pos[:, None, :] >= start_idx[..., None])
-        & (pos[:, None, :] <= large_idx[..., None])
-        & (slab >= 0)[:, None, :]
+        (pos >= start_idx[..., None])
+        & (pos <= large_idx[..., None])
+        & (consts.qcode9 >= 0)[:, None, :]
     )
     m = eq & in_win & valid[..., None]
     found = jnp.any(m, axis=-1)
-    diff = jnp.abs(pos[:, None, :] - curr_seed_idx[..., None])
-    key = jnp.where(m, diff * 2 * W + jnp.arange(W, dtype=I32)[None, None, :],
-                    jnp.int32(1 << 30))
-    best = jnp.argmin(key, axis=-1).astype(I32)  # window slot of the winner
-    clamped_base = jnp.clip(base, 0, consts.qcode9.shape[1] - W)
-    best_pos = clamped_base[:, None] + best
+    diff = jnp.abs(pos - curr_seed_idx[..., None])
+    key = jnp.where(m, diff * 2 * Q + pos, jnp.int32(1 << 30))
+    best_pos = jnp.argmin(key, axis=-1).astype(I32)
     return found, best_pos
 
 
@@ -696,8 +849,8 @@ class WalkIndex:
     fused: FusedFM
 
     @staticmethod
-    def build(ix: IndexSet, host_ix) -> "WalkIndex":
-        return WalkIndex(ix=ix, fused=FusedFM.from_index_set(ix, host_ix))
+    def build(ix: IndexSet, host_ix, ck: int = CACHE_K) -> "WalkIndex":
+        return WalkIndex(ix=ix, fused=FusedFM.from_index_set(ix, host_ix, ck=ck))
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -728,9 +881,26 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
     code = jnp.where(newly_done & (code == 0), -3, code)
     run = gap_go & cond_ok
 
+    # ---------- slab occ: fetch per-(gap,leaf) block spans ------------------
+    # (see _slab_fetch; a lane whose slot-0 span exceeds SB blocks escalates
+    # its gap to the dense engine with code -300)
+    slabF = slabR = None
+    if cfg.SLAB:
+        c0 = s.chain[:, :, :, 0]
+        slabF = _slab_fetch(fx, cfg, c0[:, :, 0], c0[:, :, 1], rbwt_side=True)
+        slabR = _slab_fetch(fx, cfg, c0[:, :, 2], c0[:, :, 3], rbwt_side=False)
+        # a leaf side with a live interval but an empty slot 0 breaks the
+        # nesting invariant (label shorter than CK) — escalate those too
+        inv_f = (s.f_lo <= s.f_hi) & (c0[:, :, 0] > c0[:, :, 1])
+        inv_r = (s.r_lo <= s.r_hi) & (c0[:, :, 2] > c0[:, :, 3])
+        lane_bad = s.alive & (~(slabF[3] & slabR[3]) | inv_f | inv_r)
+        slab_bad = run & jnp.any(lane_bad, axis=1)
+        code = jnp.where(slab_bad, jnp.int32(-300), code)
+        run = run & ~slab_bad
+
     # ---------- extendLeaves: optional kmer-size clamp refine --------------
     need_ref0 = run & (s.cur_k > consts.max_overlap)
-    rf = _chain_slot(s.chain, consts.max_overlap)
+    rf = _chain_slot(s.chain, consts.max_overlap, cfg.CK)
     sel0 = need_ref0[:, None] & s.alive
     f_lo = jnp.where(sel0, rf[0], s.f_lo)
     f_hi = jnp.where(sel0, rf[1], s.f_hi)
@@ -757,7 +927,10 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
     cand5 = cand9 & ((1 << 15) - 1)
 
     def attempt(flo, fhi, rlo, rhi, thresh):
-        p = _probe4(ix, flo, fhi, rlo, rhi)
+        if cfg.SLAB:
+            p = _probe4_slab(fx, slabF, slabR, flo, fhi, rlo, rhi)
+        else:
+            p = _probe4(ix, flo, fhi, rlo, rhi)
         pf_lo, pf_hi, pr_lo, pr_hi, freq = p
         total_cnt = jnp.sum(freq, axis=-1)
         max_freq = jnp.max(freq, axis=-1)
@@ -786,13 +959,13 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
         lower = jnp.maximum(cur_k0 - 2, consts.min_overlap)
         freq3 = []
         for i in range(3):
-            cf_lo, cf_hi, cr_lo, cr_hi = _chain_slot(s.chain, lower + i)
+            cf_lo, cf_hi, cr_lo, cr_hi = _chain_slot(s.chain, lower + i, cfg.CK)
             freq3.append(
                 rank.interval_size(cf_lo, cf_hi) + rank.interval_size(cr_lo, cr_hi)
             )
         freq3 = jnp.stack(freq3)
         reduce_size = _select_freqs_of_range(consts, freq3, lower, cur_k0, alive1)
-        rf1 = _chain_slot(s.chain, reduce_size)
+        rf1 = _chain_slot(s.chain, reduce_size, cfg.CK)
         p1, extB, aux1 = attempt(rf1[0], rf1[1], rf1[2], rf1[3], consts.min_sa)
         # level 2: threshold-1 attempt on the refined intervals
         mask_t1, m5 = aux1[1], aux1[2]
@@ -808,9 +981,14 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
         zp = (jnp.zeros((G, L, 4), I32),) * 4 + (jnp.zeros((G, L, 4), I32),)
         return cur_k0, (z, z - 1, z, z - 1), zp, zb, zb
 
-    reduce_size, rf1, p1, extB, extC = jax.lax.cond(
-        jnp.any(need_l1), level12, no_level12, operand=None
-    )
+    if cfg.SLAB:
+        # with slab occ the relaxation probes are on-chip math — compute
+        # them unconditionally instead of gating on an all-gap reduction
+        reduce_size, rf1, p1, extB, extC = level12(None)
+    else:
+        reduce_size, rf1, p1, extB, extC = jax.lax.cond(
+            jnp.any(need_l1), level12, no_level12, operand=None
+        )
     gapB = jnp.any(extB, axis=(1, 2)) & need_l1
     gapC = jnp.any(extC, axis=(1, 2)) & need_l1 & ~gapB
 
@@ -882,20 +1060,41 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
         csym = _comp4(sym)
         sts = []
         for i in range(3):
-            j = jnp.clip(lower + i - 1 - CACHE_K, 0, cfg.NCHAIN - 1)
-            st = jnp.take_along_axis(s.chain, j[:, None, None, None], axis=3)[..., 0]
+            j = jnp.clip(lower + i - 1 - cfg.CK, 0, cfg.NCHAIN - 1)
+            st = _osel(s.chain, j[:, None, None, None], axis=3)[..., 0]
             sts.append(st[:, parent])              # [G, C, 4]
         sts = jnp.stack(sts)                       # [3, G, C, 4]
-        idx4 = jnp.stack([sts[..., 0] - 1, sts[..., 1], sts[..., 2] - 1,
-                          sts[..., 3]], axis=1)    # [3, 4, G, C]
-        sym4 = jnp.broadcast_to(jnp.stack([sym, sym, csym, csym])[None],
-                                (3, 4, G, C))
-        in_rbwt = jnp.asarray([True, True, False, False])[None, :, None, None]
-        occ4 = occ_fused(fx, sym4, idx4, in_rbwt)
-        e_f_lo = fx.C_rbwt[sym][None] + occ4[:, 0]
-        e_f_hi = fx.C_rbwt[sym][None] + occ4[:, 1] - 1
-        e_r_lo = fx.C_bwt[csym][None] + occ4[:, 2]
-        e_r_hi = fx.C_bwt[csym][None] + occ4[:, 3] - 1
+        if cfg.SLAB:
+            # parent slots live inside the parent leaf's slab span; pack the
+            # 3 lengths x 2 bounds into one query axis per candidate lane
+            slF = tuple(x[:, parent] for x in slabF[:3]) + (None,)
+            slR = tuple(x[:, parent] for x in slabR[:3]) + (None,)
+            idxF = jnp.stack([sts[..., 0] - 1, sts[..., 1]], axis=-1)  # [3,G,C,2]
+            idxR = jnp.stack([sts[..., 2] - 1, sts[..., 3]], axis=-1)
+            qF = jnp.moveaxis(idxF, 0, 2).reshape(G, C, 6)
+            qR = jnp.moveaxis(idxR, 0, 2).reshape(G, C, 6)
+            sym6 = jnp.broadcast_to(sym[..., None], (G, C, 6))
+            occF = _slab_occ(slF, sym6, qF).reshape(G, C, 3, 2)
+            occR = _slab_occ(slR, _comp4(sym6), qR).reshape(G, C, 3, 2)
+            occF = jnp.moveaxis(occF, 2, 0)        # [3, G, C, 2]
+            occR = jnp.moveaxis(occR, 2, 0)
+            f_empty = sts[..., 0] > sts[..., 1]
+            r_empty = sts[..., 2] > sts[..., 3]
+            e_f_lo = jnp.where(f_empty, 0, fx.C_rbwt[sym][None] + occF[..., 0])
+            e_f_hi = jnp.where(f_empty, -1, fx.C_rbwt[sym][None] + occF[..., 1] - 1)
+            e_r_lo = jnp.where(r_empty, 0, fx.C_bwt[csym][None] + occR[..., 0])
+            e_r_hi = jnp.where(r_empty, -1, fx.C_bwt[csym][None] + occR[..., 1] - 1)
+        else:
+            idx4 = jnp.stack([sts[..., 0] - 1, sts[..., 1], sts[..., 2] - 1,
+                              sts[..., 3]], axis=1)    # [3, 4, G, C]
+            sym4 = jnp.broadcast_to(jnp.stack([sym, sym, csym, csym])[None],
+                                    (3, 4, G, C))
+            in_rbwt = jnp.asarray([True, True, False, False])[None, :, None, None]
+            occ4 = occ_fused(fx, sym4, idx4, in_rbwt)
+            e_f_lo = fx.C_rbwt[sym][None] + occ4[:, 0]
+            e_f_hi = fx.C_rbwt[sym][None] + occ4[:, 1] - 1
+            e_r_lo = fx.C_bwt[csym][None] + occ4[:, 2]
+            e_r_hi = fx.C_bwt[csym][None] + occ4[:, 3] - 1
         freq3 = rank.interval_size(e_f_lo, e_f_hi) + rank.interval_size(e_r_lo, e_r_hi)
         rsize = _select_freqs_of_range(consts, freq3, lower, cur_k_new, cand)
         pick = (rsize[:, None] - lower[:, None])[None, ...]  # [1, G, 1]
@@ -912,7 +1111,11 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
         z = jnp.zeros((G, C), I32)
         return cur_k_new, (z, z - 1, z, z - 1)
 
-    rsize2, rf2 = jax.lax.cond(jnp.any(need_post), post_reduce, no_post, operand=None)
+    if cfg.SLAB:
+        rsize2, rf2 = post_reduce(None)
+    else:
+        rsize2, rf2 = jax.lax.cond(jnp.any(need_post), post_reduce, no_post,
+                                   operand=None)
     selp = need_post[:, None]
     c_f_lo = jnp.where(selp, rf2[0], c_f_lo)
     c_f_hi = jnp.where(selp, rf2[1], c_f_hi)
@@ -973,7 +1176,7 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
     n_app = s.gerr_n + 1
     slot_w = (n_app - 1) % cfg.RING
     slot_r = n_app % cfg.RING
-    old = jnp.take_along_axis(
+    old = _osel(
         c_ring, jnp.broadcast_to(slot_r[:, None, None], (G, C, 1)), axis=2
     )[..., 0]
     local = jnp.where(
@@ -1027,11 +1230,11 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
     )  # [G, RMAX]
     has_src = src >= 0
     srcc = jnp.clip(src, 0, C - 1)
-    g_take = lambda arr: jnp.take_along_axis(arr, srcc, axis=1)
+    g_take = lambda arr: _osel(arr, srcc, axis=1)
     # rebuild writer labels: parent label + extension char at cur_len-1
     src_parent = parent[srcc]
     src_char = (srcc % 4 + 1).astype(jnp.int8)
-    src_lab = jnp.take_along_axis(s.labels, src_parent[..., None], axis=1)
+    src_lab = _osel(s.labels, src_parent[..., None], axis=1)
     wpos_l = jax.lax.broadcasted_iota(I32, src_lab.shape, 2) == (
         cur_len_new[:, None, None] - 1
     )
@@ -1054,7 +1257,7 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
     )  # [G, L]
     has_leaf = lsrc >= 0
     lsrcc = jnp.clip(lsrc, 0, C - 1)
-    l_take = lambda arr: jnp.take_along_axis(arr, lsrcc, axis=1)
+    l_take = lambda arr: _osel(arr, lsrcc, axis=1)
 
     def upd(old_arr, cand_arr):
         new = jnp.where(has_leaf, l_take(cand_arr), old_arr)
@@ -1063,7 +1266,7 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
     new_alive = jnp.where(run[:, None], has_leaf, s.alive)
     leaf_parent = parent[lsrcc]
     leaf_char = (lsrcc % 4 + 1).astype(jnp.int8)
-    leaf_lab = jnp.take_along_axis(s.labels, leaf_parent[..., None], axis=1)
+    leaf_lab = _osel(s.labels, leaf_parent[..., None], axis=1)
     wpos_f = jax.lax.broadcasted_iota(I32, leaf_lab.shape, 2) == (
         cur_len_new[:, None, None] - 1
     )
@@ -1073,36 +1276,57 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
     )
     new_ring = jnp.where(
         run[:, None, None] & has_leaf[..., None],
-        jnp.take_along_axis(c_ring, lsrcc[..., None], axis=1),
+        _osel(c_ring, lsrcc[..., None], axis=1),
         s.ring,
     )
 
     # ---------- advance the chain ring (one wide stacked gather) -----------
     # new slot j>=1 = parent slot j-1 extended by the leaf's appended char;
-    # slot 0 reseeds from the CACHE_K interval cache via the new tail code
+    # slot 0 reseeds from the CK interval cache via the new tail code
     NC = cfg.NCHAIN
-    par_chain = jnp.take_along_axis(
+    par_chain = _osel(
         s.chain, leaf_parent[:, :, None, None], axis=1
     )                                               # [G, L, 4, NC]
     prev = par_chain[..., : NC - 1]                 # slots 0..NC-2
     lch = leaf_char.astype(I32)                     # [G, L]
     lsym = jnp.broadcast_to(lch[..., None], (G, L, NC - 1))
     lcsym = _comp4(lsym)
-    cidx4 = jnp.stack([
-        prev[:, :, 0] - 1, prev[:, :, 1], prev[:, :, 2] - 1, prev[:, :, 3]
-    ])                                              # [4, G, L, NC-1]
-    csym4 = jnp.stack([lsym, lsym, lcsym, lcsym])
-    c_in_rbwt = jnp.asarray([True, True, False, False])[:, None, None, None]
-    cocc4 = occ_fused(fx, csym4, cidx4, c_in_rbwt)
-    adv = jnp.stack([
-        fx.C_rbwt[lsym] + cocc4[0],
-        fx.C_rbwt[lsym] + cocc4[1] - 1,
-        fx.C_bwt[lcsym] + cocc4[2],
-        fx.C_bwt[lcsym] + cocc4[3] - 1,
-    ], axis=2)                                      # [G, L, 4, NC-1]
+    if cfg.SLAB:
+        # every non-empty parent slot nests inside the parent leaf's slab
+        gsl = lambda x: _osel(x, leaf_parent[:, :, None, None], axis=1)
+        gbs = lambda x: _osel(x, leaf_parent, axis=1)
+        slF_l = (gsl(slabF[0]), gsl(slabF[1]), gbs(slabF[2]), None)
+        slR_l = (gsl(slabR[0]), gsl(slabR[1]), gbs(slabR[2]), None)
+        qF = jnp.concatenate([prev[:, :, 0] - 1, prev[:, :, 1]], axis=-1)
+        qR = jnp.concatenate([prev[:, :, 2] - 1, prev[:, :, 3]], axis=-1)
+        sym2 = jnp.broadcast_to(lch[..., None], (G, L, 2 * (NC - 1)))
+        occF = _slab_occ(slF_l, sym2, qF)           # [G, L, 2(NC-1)]
+        occR = _slab_occ(slR_l, _comp4(sym2), qR)
+        f_empty = prev[:, :, 0] > prev[:, :, 1]
+        r_empty = prev[:, :, 2] > prev[:, :, 3]
+        nsl = NC - 1
+        adv = jnp.stack([
+            jnp.where(f_empty, 0, fx.C_rbwt[lsym] + occF[..., :nsl]),
+            jnp.where(f_empty, -1, fx.C_rbwt[lsym] + occF[..., nsl:] - 1),
+            jnp.where(r_empty, 0, fx.C_bwt[lcsym] + occR[..., :nsl]),
+            jnp.where(r_empty, -1, fx.C_bwt[lcsym] + occR[..., nsl:] - 1),
+        ], axis=2)                                  # [G, L, 4, NC-1]
+    else:
+        cidx4 = jnp.stack([
+            prev[:, :, 0] - 1, prev[:, :, 1], prev[:, :, 2] - 1, prev[:, :, 3]
+        ])                                          # [4, G, L, NC-1]
+        csym4 = jnp.stack([lsym, lsym, lcsym, lcsym])
+        c_in_rbwt = jnp.asarray([True, True, False, False])[:, None, None, None]
+        cocc4 = occ_fused(fx, csym4, cidx4, c_in_rbwt)
+        adv = jnp.stack([
+            fx.C_rbwt[lsym] + cocc4[0],
+            fx.C_rbwt[lsym] + cocc4[1] - 1,
+            fx.C_bwt[lcsym] + cocc4[2],
+            fx.C_bwt[lcsym] + cocc4[3] - 1,
+        ], axis=2)                                  # [G, L, 4, NC-1]
     c_tail8 = (
         (s.tail8[:, parent] << 2) | (echar[None, :].astype(I32) - 1)
-    ) & ((1 << (2 * CACHE_K)) - 1)                  # [G, C]
+    ) & ((1 << (2 * cfg.CK)) - 1)                   # [G, C]
     new_tail8 = upd(s.tail8, c_tail8)
     slot0 = fx.wcache[new_tail8]                    # [G, L, 4]
     new_chain = jnp.concatenate([slot0[..., None], adv], axis=3)
@@ -1251,6 +1475,7 @@ def run_gap_batch(host_ix, dev_ix, tasks, cfg: WalkConfig,
     }
     out = []
     retry = []
+    retry_dense = []
     for g, t in enumerate(tasks):
         if state_np["res_overflow"][g]:
             out.append((-100, ""))  # host replay requested
@@ -1263,7 +1488,24 @@ def run_gap_batch(host_ix, dev_ix, tasks, cfg: WalkConfig,
             out.append(None)
             retry.append(g)
             continue
+        if c == -300:
+            out.append(None)
+            retry_dense.append(g)
+            continue
         out.append(finalize_gap(tasks, None, state_np, g, cfg))
+    if retry_dense:
+        # slab span overflow (wide repeat inside the walk label): replay on
+        # the dense-gather engine, which has no span limit
+        from dataclasses import replace as _rep
+        dense = _rep(cfg, SLAB=False, G=max(16, min(cfg.G, len(retry_dense))))
+        sub = [tasks[g] for g in retry_dense]
+        for base in range(0, len(sub), dense.G):
+            chunk = sub[base : base + dense.G]
+            res = run_gap_batch(host_ix, dev_ix, chunk, dense,
+                                pacbio_error_rate, pb_coverage,
+                                max_steps, check_every)
+            for j, r in enumerate(res):
+                out[retry_dense[base + j]] = r
     if retry:
         if cfg.L >= cfg.max_leaves:
             for g in retry:
