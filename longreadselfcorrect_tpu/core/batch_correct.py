@@ -116,11 +116,16 @@ class BatchedSelfCorrector(SelfCorrector):
                 mat[i, : len(e)] = e
                 lens[i] = len(e)
             lens_all[base : base + len(chunk)] = lens[: len(chunk)]
-            freq, valid = scan.kmer_table_full(
+            freq, vbits = scan.kmer_table_wire(
                 self.wx.ix, jnp.asarray(mat), jnp.asarray(lens), max_k
             )
-            freqs.append(np.asarray(freq)[:, : len(chunk)])
-            valids.append(np.asarray(valid)[:, : len(chunk)])
+            # int16/bit-packed on the wire; widen host-side so the seed
+            # scan sees the same int32/bool tables as before
+            freqs.append(np.asarray(freq)[:, : len(chunk)].astype(np.int32))
+            valids.append(
+                scan.unpack_valid_bits(np.asarray(vbits), max_k + 1)
+                [:, : len(chunk)]
+            )
         return (
             np.concatenate(freqs, axis=1),
             np.concatenate(valids, axis=1),

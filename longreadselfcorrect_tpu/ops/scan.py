@@ -95,3 +95,33 @@ def kmer_table_full(ix: IndexSet, reads: jax.Array, lengths: jax.Array, max_k: i
         new_state = rank.extend_bi(ix, state, jnp.clip(nxt, 0, 4))
         state = tuple(jnp.where(live, n, o) for n, o in zip(new_state, state))
     return jnp.stack(freqs), jnp.stack(valids)
+
+
+@partial(jax.jit, static_argnames=("max_k",))
+def kmer_table_wire(ix: IndexSet, reads: jax.Array, lengths: jax.Array, max_k: int):
+    """kmer_table_full in wire format for the host seed scan.
+
+    Device->host readback of the full int32 table dominated the seed phase
+    (30+ MB per 64-read chunk through the device tunnel), so ship freq as
+    int16 (clipped at 32767 — the dynamic-kmer thresholds top out around
+    ~700, so the clip can only matter for freq-vs-freq ratios of extreme
+    repeats) and validity packed 8 k-levels per byte.
+    Returns (freq int16 [max_k+1, R, L], vbits uint8 [ceil((max_k+1)/8), R, L]).
+    """
+    freq, valid = kmer_table_full(ix, reads, lengths, max_k)
+    f16 = jnp.clip(freq, -1, 32767).astype(jnp.int16)
+    K = valid.shape[0]
+    pad = (-K) % 8
+    v = jnp.pad(valid, ((0, pad), (0, 0), (0, 0)))
+    v = v.reshape(-1, 8, *valid.shape[1:]).astype(jnp.uint8)
+    bits = jnp.arange(8, dtype=jnp.uint8)[None, :, None, None]
+    vbits = jnp.sum(v << bits, axis=1).astype(jnp.uint8)
+    return f16, vbits
+
+
+def unpack_valid_bits(vbits: "np.ndarray", n_k: int):
+    """Host-side inverse of kmer_table_wire's bit packing -> bool [n_k, R, L]."""
+    import numpy as np
+
+    b = np.unpackbits(vbits[:, None], axis=1, bitorder="little")
+    return b.reshape(-1, *vbits.shape[1:])[:n_k].astype(bool)

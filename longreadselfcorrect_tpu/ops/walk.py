@@ -663,70 +663,104 @@ def _slab_fetch(fx: FusedFM, cfg: WalkConfig, lo0, hi0, rbwt_side: bool):
     return rows, ckr, base_q, ok
 
 
-def _slab_occ(slab, sym, idx):
+def _slab_B(rows):
+    """One-hot slab rows by (block, base): [..., SB, BLK] i8 ->
+    [..., BLK, SB*4] bf16.
+
+    Shared right-hand operand for every occ matmul against one slab: build
+    it once per side per superstep instead of re-comparing rows per query
+    (the compare was the VPU hot spot — ~6x the ops of everything else)."""
+    syms = jnp.arange(1, 5, dtype=jnp.int8)
+    oh = (rows[..., :, :, None] == syms).astype(jnp.bfloat16)  # [.., SB, BLK, 4]
+    return jnp.moveaxis(oh, -3, -2).reshape(
+        *rows.shape[:-2], rows.shape[-1], -1)
+
+
+def _slab_cnt(B, r):
+    """In-block prefix counts for every (block, base) on the MXU.
+
+    B [..., BLK, SB*4] (from _slab_B), r [..., Q] in-block cutoffs ->
+    [..., Q, SB, 4] i32.  A query's mask row is built once ([..., Q, BLK],
+    not once per block) and one batched [Q, BLK] x [BLK, SB*4] dot counts
+    all blocks and bases at once; products are exact 0/1 in bf16 and sums
+    <= BLK are exact in the f32 accumulator."""
+    BLK = B.shape[-2]
+    lane = jnp.arange(BLK, dtype=I32)
+    A = (lane < r[..., None]).astype(jnp.bfloat16)           # [..., Q, BLK]
+    cnt = jax.lax.dot_general(
+        A, B, (((A.ndim - 1,), (B.ndim - 2,)),
+               (tuple(range(A.ndim - 2)), tuple(range(B.ndim - 2)))),
+        preferred_element_type=jnp.float32,
+    )
+    return cnt.astype(I32).reshape(*r.shape, -1, 4)
+
+
+def _slab_occ(slab, sym, idx, B=None):
     """occ(sym, idx) from a fetched slab: sym/idx [..., Q] -> counts [..., Q].
 
     Same math as occ_fused (p = idx+1; checkpoint + masked row count) with
-    the row read replaced by an on-chip select over the SB resident blocks.
-    Queries whose block falls outside the slab contribute 0 — callers only
-    read such lanes when the result is masked/synthesized.
+    the row read replaced by an MXU prefix count over the SB resident
+    blocks (_slab_cnt).  Queries whose block falls outside the slab
+    contribute 0 — callers only read such lanes when the result is
+    masked/synthesized.
     """
-    rows, ckr, base_q, _ = slab
+    rows, ckr, base_q, _ = slab[:4]
     SB, BLK = rows.shape[-2], rows.shape[-1]
+    if B is None:
+        B = _slab_B(rows)
     p = (idx + 1).astype(I32)
     q = p // BLK - base_q[..., None]
     r = p - (p // BLK) * BLK
-    lane = jnp.arange(BLK, dtype=I32)
+    cnt_all = _slab_cnt(B, r)                                # [..., Q, SB, 4]
     cnt = jnp.zeros(p.shape, I32)
     ckv = jnp.zeros(p.shape, I32)
-    sym8 = sym.astype(jnp.int8)
     sym32 = sym.astype(I32)
     for sb in range(SB):
         m = q == sb
-        hits = (rows[..., sb, None, :] == sym8[..., None]) & (
-            lane < r[..., None])
-        cnt = cnt + jnp.where(m, hits.sum(-1, dtype=I32), 0)
-        # checkpoint row select: one-hot arithmetic over the 4 bases — a
-        # take_along_axis here lowers to a (slow) hardware gather per query
+        # (block, base) select via one-hot arithmetic — a take_along_axis
+        # here lowers to a (slow) hardware gather per query
+        cs = jnp.zeros(p.shape, I32)
         cks = jnp.zeros(p.shape, I32)
         for b in range(1, 5):
-            cks = cks + jnp.where(sym32 == b, ckr[..., sb, b][..., None], 0)
+            sel = sym32 == b
+            cs = cs + jnp.where(sel, cnt_all[..., sb, b - 1], 0)
+            cks = cks + jnp.where(sel, ckr[..., sb, b][..., None], 0)
+        cnt = cnt + jnp.where(m, cs, 0)
         ckv = ckv + jnp.where(m, cks, 0)
     return ckv + cnt
 
 
-def _slab_occ_all(slab, idx):
+def _slab_occ_all(slab, idx, B=None):
     """occ of all four bases at idx: idx [..., Q] -> counts [..., Q, 4]."""
-    rows, ckr, base_q, _ = slab
+    rows, ckr, base_q, _ = slab[:4]
     SB, BLK = rows.shape[-2], rows.shape[-1]
+    if B is None:
+        B = _slab_B(rows)
     p = (idx + 1).astype(I32)
     q = p // BLK - base_q[..., None]
     r = p - (p // BLK) * BLK
-    lane = jnp.arange(BLK, dtype=I32)
-    syms = jnp.arange(1, 5, dtype=jnp.int8)
+    cnt_all = _slab_cnt(B, r)                                # [..., Q, SB, 4]
     cnt = jnp.zeros(p.shape + (4,), I32)
     ckv = jnp.zeros(p.shape + (4,), I32)
     for sb in range(SB):
         m = (q == sb)[..., None]
-        # [..., Q, BLK, 4]: row symbol == each base, position < r
-        hits = (rows[..., sb, None, :, None] == syms) & (
-            lane < r[..., None])[..., None]
-        cnt = cnt + jnp.where(m, hits.sum(-2, dtype=I32), 0)
+        cnt = cnt + jnp.where(m, cnt_all[..., sb, :], 0)
         ckv = ckv + jnp.where(m, ckr[..., sb, None, 1:5], 0)
     return ckv + cnt
 
 
-def _probe4_slab(fx: FusedFM, slabF, slabR, f_lo, f_hi, r_lo, r_hi):
+def _probe4_slab(fx: FusedFM, slabF, slabR, f_lo, f_hi, r_lo, r_hi,
+                 BF=None, BR=None):
     """_probe4 with ranks read from the per-lane slabs."""
     f_valid = (f_lo <= f_hi)[..., None]
-    occF = _slab_occ_all(slabF, jnp.stack([f_lo - 1, f_hi], axis=-1))
+    occF = _slab_occ_all(slabF, jnp.stack([f_lo - 1, f_hi], axis=-1), BF)
     Cb = fx.C_rbwt[1:5]
     nf_lo = Cb + occF[..., 0, :]
     nf_hi = Cb + occF[..., 1, :] - 1
     pf_lo = jnp.where(f_valid, nf_lo, f_lo[..., None])
     pf_hi = jnp.where(f_valid, nf_hi, f_hi[..., None])
     r_valid = (r_lo <= r_hi)[..., None]
-    occR = _slab_occ_all(slabR, jnp.stack([r_lo - 1, r_hi], axis=-1))
+    occR = _slab_occ_all(slabR, jnp.stack([r_lo - 1, r_hi], axis=-1), BR)
     Cr = fx.C_bwt[1:5][::-1]
     nr_lo = Cr + occR[..., 0, ::-1]
     nr_hi = Cr + occR[..., 1, ::-1] - 1
@@ -884,11 +918,13 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
     # ---------- slab occ: fetch per-(gap,leaf) block spans ------------------
     # (see _slab_fetch; a lane whose slot-0 span exceeds SB blocks escalates
     # its gap to the dense engine with code -300)
-    slabF = slabR = None
+    slabF = slabR = BF = BR = None
     if cfg.SLAB:
         c0 = s.chain[:, :, :, 0]
         slabF = _slab_fetch(fx, cfg, c0[:, :, 0], c0[:, :, 1], rbwt_side=True)
         slabR = _slab_fetch(fx, cfg, c0[:, :, 2], c0[:, :, 3], rbwt_side=False)
+        BF = _slab_B(slabF[0])
+        BR = _slab_B(slabR[0])
         # a leaf side with a live interval but an empty slot 0 breaks the
         # nesting invariant (label shorter than CK) — escalate those too
         inv_f = (s.f_lo <= s.f_hi) & (c0[:, :, 0] > c0[:, :, 1])
@@ -928,7 +964,7 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
 
     def attempt(flo, fhi, rlo, rhi, thresh):
         if cfg.SLAB:
-            p = _probe4_slab(fx, slabF, slabR, flo, fhi, rlo, rhi)
+            p = _probe4_slab(fx, slabF, slabR, flo, fhi, rlo, rhi, BF, BR)
         else:
             p = _probe4(ix, flo, fhi, rlo, rhi)
         pf_lo, pf_hi, pr_lo, pr_hi, freq = p
@@ -1058,24 +1094,34 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
         lower = jnp.maximum(cur_k_new - 2, consts.min_overlap)
         sym = jnp.broadcast_to(echar[None, :].astype(I32), (G, C))
         csym = _comp4(sym)
-        sts = []
+        sts_L = []
         for i in range(3):
             j = jnp.clip(lower + i - 1 - cfg.CK, 0, cfg.NCHAIN - 1)
             st = _osel(s.chain, j[:, None, None, None], axis=3)[..., 0]
-            sts.append(st[:, parent])              # [G, C, 4]
-        sts = jnp.stack(sts)                       # [3, G, C, 4]
+            sts_L.append(st)                       # [G, L, 4]
+        stsL = jnp.stack(sts_L)                    # [3, G, L, 4]
+        sts = stsL[:, :, parent]                   # [3, G, C, 4]
         if cfg.SLAB:
-            # parent slots live inside the parent leaf's slab span; pack the
-            # 3 lengths x 2 bounds into one query axis per candidate lane
-            slF = tuple(x[:, parent] for x in slabF[:3]) + (None,)
-            slR = tuple(x[:, parent] for x in slabR[:3]) + (None,)
-            idxF = jnp.stack([sts[..., 0] - 1, sts[..., 1]], axis=-1)  # [3,G,C,2]
-            idxR = jnp.stack([sts[..., 2] - 1, sts[..., 3]], axis=-1)
-            qF = jnp.moveaxis(idxF, 0, 2).reshape(G, C, 6)
-            qR = jnp.moveaxis(idxR, 0, 2).reshape(G, C, 6)
-            sym6 = jnp.broadcast_to(sym[..., None], (G, C, 6))
-            occF = _slab_occ(slF, sym6, qF).reshape(G, C, 3, 2)
-            occR = _slab_occ(slR, _comp4(sym6), qR).reshape(G, C, 3, 2)
+            # L-space occ of all four bases at the 3x2 slot bounds, then a
+            # static (parent, base) select per candidate — avoids gathering
+            # per-candidate slab copies (the 4 children of a leaf query the
+            # same positions, only the base differs)
+            qF = jnp.moveaxis(
+                jnp.stack([stsL[..., 0] - 1, stsL[..., 1]], axis=-1), 0, 2
+            ).reshape(G, L, 6)
+            qR = jnp.moveaxis(
+                jnp.stack([stsL[..., 2] - 1, stsL[..., 3]], axis=-1), 0, 2
+            ).reshape(G, L, 6)
+            occF_L = _slab_occ_all(slabF, qF, BF)  # [G, L, 6, 4]
+            occR_L = _slab_occ_all(slabR, qR, BR)
+            baseF = np.arange(C) % 4               # F-side base per candidate
+            baseR = 3 - baseF                      # complement base index
+            occF = jnp.transpose(
+                occF_L[:, parent][:, np.arange(C), :, baseF], (1, 0, 2)
+            ).reshape(G, C, 3, 2)
+            occR = jnp.transpose(
+                occR_L[:, parent][:, np.arange(C), :, baseR], (1, 0, 2)
+            ).reshape(G, C, 3, 2)
             occF = jnp.moveaxis(occF, 2, 0)        # [3, G, C, 2]
             occR = jnp.moveaxis(occR, 2, 0)
             f_empty = sts[..., 0] > sts[..., 1]
@@ -1292,16 +1338,20 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
     lsym = jnp.broadcast_to(lch[..., None], (G, L, NC - 1))
     lcsym = _comp4(lsym)
     if cfg.SLAB:
-        # every non-empty parent slot nests inside the parent leaf's slab
-        gsl = lambda x: _osel(x, leaf_parent[:, :, None, None], axis=1)
-        gbs = lambda x: _osel(x, leaf_parent, axis=1)
-        slF_l = (gsl(slabF[0]), gsl(slabF[1]), gbs(slabF[2]), None)
-        slR_l = (gsl(slabR[0]), gsl(slabR[1]), gbs(slabR[2]), None)
-        qF = jnp.concatenate([prev[:, :, 0] - 1, prev[:, :, 1]], axis=-1)
-        qR = jnp.concatenate([prev[:, :, 2] - 1, prev[:, :, 3]], axis=-1)
-        sym2 = jnp.broadcast_to(lch[..., None], (G, L, 2 * (NC - 1)))
-        occF = _slab_occ(slF_l, sym2, qF)           # [G, L, 2(NC-1)]
-        occR = _slab_occ(slR_l, _comp4(sym2), qR)
+        # occ of all four bases at every slot bound in ORIGINAL leaf space,
+        # then a (parent, char) select per new leaf — slab/B operands stay
+        # in L-space, no per-new-leaf slab gathers (positions are the
+        # parent's own slot bounds, so selecting the parent lane of the
+        # L-space result is the identical rank value)
+        prevL = s.chain[..., : NC - 1]              # [G, L, 4, NC-1]
+        qFL = jnp.concatenate([prevL[:, :, 0] - 1, prevL[:, :, 1]], axis=-1)
+        qRL = jnp.concatenate([prevL[:, :, 2] - 1, prevL[:, :, 3]], axis=-1)
+        occF_all = _slab_occ_all(slabF, qFL, BF)    # [G, L, 2(NC-1), 4]
+        occR_all = _slab_occ_all(slabR, qRL, BR)
+        occFp = _osel(occF_all, leaf_parent[:, :, None, None], axis=1)
+        occRp = _osel(occR_all, leaf_parent[:, :, None, None], axis=1)
+        occF = _osel(occFp, (lch - 1)[:, :, None, None], axis=3)[..., 0]
+        occR = _osel(occRp, (4 - lch)[:, :, None, None], axis=3)[..., 0]
         f_empty = prev[:, :, 0] > prev[:, :, 1]
         r_empty = prev[:, :, 2] > prev[:, :, 3]
         nsl = NC - 1
@@ -1390,26 +1440,39 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
 # host orchestration
 # ---------------------------------------------------------------------------
 
-def finalize_gap(tasks, consts_np, state_np, g, cfg) -> tuple[int, str]:
-    """findTheBestPath (:214-236) + thread assembly for a finished gap lane."""
-    code = int(state_np["code"][g])
+@partial(jax.jit, static_argnames=("cfg",))
+def _reduce_results(state: WalkState, cfg: WalkConfig):
+    """findTheBestPath's argmin (:214-236) on device: ship ONE label per gap.
+
+    Reading the full [G, RMAX, MAXLEN] result buffers back through the
+    device tunnel dominated the walk wall time; the reduction keeps the
+    readback at [G, MAXLEN] + scalars.  argmin picks the first slot with
+    the minimum error, matching the host loop's strict-less update; slots
+    with err >= 1.0 never win (has=False -> -4, as when the loop keeps
+    best=None)."""
+    n = jnp.minimum(state.res_count, cfg.RMAX)
+    slot_ok = jnp.arange(cfg.RMAX, dtype=I32)[None, :] < n[:, None]
+    err = jnp.where(slot_ok & (state.res_err < 1.0), state.res_err, jnp.inf)
+    best = jnp.argmin(err, axis=1)
+    has = jnp.take_along_axis(err, best[:, None], axis=1)[:, 0] < 1.0
+    blab = jnp.take_along_axis(
+        state.res_labels, best[:, None, None], axis=1)[:, 0]
+    blen = jnp.take_along_axis(state.res_len, best[:, None], axis=1)[:, 0]
+    bi = jnp.take_along_axis(state.res_i, best[:, None], axis=1)[:, 0]
+    return state.code, state.res_overflow, has, blab, blen, bi
+
+
+def finalize_gap(tasks, red_np, g, cfg) -> tuple[int, str]:
+    """Thread assembly for a finished gap lane (from _reduce_results)."""
+    code = int(red_np["code"][g])
     if code != 1:
         return code, ""
-    n = min(int(state_np["res_count"][g]), cfg.RMAX)
-    best_err = 1.0
-    best = None
-    for r in range(n):
-        err = float(state_np["res_err"][g, r])
-        if err < best_err:
-            best_err = err
-            best = r
-    if best is None:
+    if not red_np["has"][g]:
         return -4, ""
     t = tasks[g]
-    lab = state_np["res_labels"][g, best]
-    ln = int(state_np["res_len"][g, best])
-    thread = ab.decode(lab[:ln])
-    i = int(state_np["res_i"][g, best])
+    ln = int(red_np["len"][g])
+    thread = ab.decode(red_np["lab"][g][:ln])
+    i = int(red_np["i"][g])
     if len(t.trg) > t.min_overlap:
         thread += t.trg[i + t.min_overlap:]
     return 1, thread
@@ -1460,27 +1523,27 @@ def run_gap_batch(host_ix, dev_ix, tasks, cfg: WalkConfig,
                                 pb_coverage, dev_ix=wx.ix)
     _t1 = _time.time()
     state = run_to_completion(wx, consts, state, cfg, max_steps)
-    state.code.block_until_ready()
+    code_d, over_d, has_d, lab_d, len_d, i_d = _reduce_results(state, cfg)
+    code_d.block_until_ready()
     if _dbg:
         print(f"[timing]   gap_batch n={len(tasks)} G={cfg.G}: build {_t1-_t0:.2f}s"
               f" device {_time.time()-_t1:.2f}s", file=_sys.stderr, flush=True)
-    state_np = {
-        "code": np.asarray(state.code),
-        "res_count": np.asarray(state.res_count),
-        "res_err": np.asarray(state.res_err),
-        "res_labels": np.asarray(state.res_labels),
-        "res_len": np.asarray(state.res_len),
-        "res_i": np.asarray(state.res_i),
-        "res_overflow": np.asarray(state.res_overflow),
+    red_np = {
+        "code": np.asarray(code_d),
+        "res_overflow": np.asarray(over_d),
+        "has": np.asarray(has_d),
+        "lab": np.asarray(lab_d),
+        "len": np.asarray(len_d),
+        "i": np.asarray(i_d),
     }
     out = []
     retry = []
     retry_dense = []
     for g, t in enumerate(tasks):
-        if state_np["res_overflow"][g]:
+        if red_np["res_overflow"][g]:
             out.append((-100, ""))  # host replay requested
             continue
-        c = int(state_np["code"][g])
+        c = int(red_np["code"][g])
         if c == 0:
             out.append((-100, ""))  # did not converge in max_steps
             continue
@@ -1492,7 +1555,7 @@ def run_gap_batch(host_ix, dev_ix, tasks, cfg: WalkConfig,
             out.append(None)
             retry_dense.append(g)
             continue
-        out.append(finalize_gap(tasks, None, state_np, g, cfg))
+        out.append(finalize_gap(tasks, red_np, g, cfg))
     if retry_dense:
         # slab span overflow (wide repeat inside the walk label): replay on
         # the dense-gather engine, which has no span limit
