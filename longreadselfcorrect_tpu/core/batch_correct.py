@@ -205,17 +205,9 @@ class BatchedSelfCorrector(SelfCorrector):
                     seen.add(k)
                     miss_tasks.append(t)
                     miss_keys.append(k)
-            if len(miss_tasks) < 16:
-                # a device round costs more than a few host walks
-                for t, k in zip(miss_tasks, miss_keys):
-                    eng = HostExtendEngine(
-                        self.ix, t.src, t.path, t.trg, t.dis, t.init_k,
-                        t.max_overlap, self.fm_params, t.min_sa_threshold,
-                    )
-                    code, wres = eng.extend()
-                    self._prefetch[k] = (code, wres.merged_seq)
-            else:
-                self._run_tasks(miss_tasks, miss_keys)
+            # a warm device round (~0.2s) now beats even a couple of host
+            # walks (~0.3s each) — route every miss round to the device
+            self._run_tasks(miss_tasks, miss_keys)
             pending = still
         if _dbg: print(f"[timing] replay+retries: {_time.time()-_t0:.1f}s", file=sys.stderr, flush=True)
         self._misses = None
@@ -239,18 +231,28 @@ class BatchedSelfCorrector(SelfCorrector):
             else:
                 huge.append(i)
         cfg_dense = _rep(self.cfg_huge, SLAB=False, G=32)
+        # submit every chunk first (device dispatch is async), then collect:
+        # batch k+1 computes while batch k's results cross the tunnel
+        submitted = []
         for sel_all, cfg in ((small, self.cfg), (big, self.cfg_big),
                              (huge, self.cfg_huge), (dense, cfg_dense)):
             order = sorted(sel_all, key=lambda i: tasks[i].dis)
             for base in range(0, len(order), cfg.G):
                 sel = order[base : base + cfg.G]
                 chunk = [tasks[i] for i in sel]
-                res = walk.run_gap_batch(
+                h = walk.submit_gap_batch(
                     self.ix, self.wx, chunk, cfg,
                     self.params.error_rate, self.params.pb_coverage,
                 )
-                for i, r in zip(sel, res):
-                    self._prefetch[keys[i]] = r
+                submitted.append((sel, chunk, cfg, h))
+        for sel, chunk, cfg, h in submitted:
+            res = walk.run_gap_batch(
+                self.ix, self.wx, chunk, cfg,
+                self.params.error_rate, self.params.pb_coverage,
+                _handle=h,
+            )
+            for i, r in zip(sel, res):
+                self._prefetch[keys[i]] = r
 
     # ------------------------------------------------------------------
     def _correct_by_fm_extension(self, source: Seed, target: Seed, read_seq: str,

@@ -934,6 +934,45 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
         code = jnp.where(slab_bad, jnp.int32(-300), code)
         run = run & ~slab_bad
 
+    # ---------- unified occ sweep (SLAB) ------------------------------------
+    # Every rank the superstep needs — level-0 probes, relaxation probes,
+    # post-reduce refinement, and the chain advance — is an occ at a chain
+    # SLOT BOUND: the live leaf interval is identically the slot at
+    # cur_k - CK (both start as the init_k-suffix interval and extend by
+    # the same update), and every refine picks a slot.  So one occ_all per
+    # side over all 2*NCHAIN slot bounds feeds the whole step.
+    NCH = cfg.NCHAIN
+    occF_sweep = occR_sweep = None
+    if cfg.SLAB:
+        qFL = jnp.concatenate(
+            [s.chain[:, :, 0, :] - 1, s.chain[:, :, 1, :]], axis=-1)
+        qRL = jnp.concatenate(
+            [s.chain[:, :, 2, :] - 1, s.chain[:, :, 3, :]], axis=-1)
+        occF_sweep = _slab_occ_all(slabF, qFL, BF)      # [G, L, 2*NCH, 4]
+        occR_sweep = _slab_occ_all(slabR, qRL, BR)
+
+    def ext_slot(k):
+        """4-way ACGT extensions of chain slot (k - CK), from the sweep.
+
+        k [G] suffix length; returns (pf_lo, pf_hi, pr_lo, pr_hi, freq)
+        with probe4's kept-on-invalid semantics per side, [G, L, 4]."""
+        j = jnp.clip(k - cfg.CK, 0, NCH - 1)[:, None, None, None]
+        oc = lambda sw, off: _osel(sw, j + off, axis=2)[:, :, 0]
+        slv = _chain_slot(s.chain, k, cfg.CK)
+        f_valid = (slv[0] <= slv[1])[..., None]
+        r_valid = (slv[2] <= slv[3])[..., None]
+        Cb = fx.C_rbwt[1:5]
+        pf_lo = jnp.where(f_valid, Cb + oc(occF_sweep, 0), slv[0][..., None])
+        pf_hi = jnp.where(f_valid, Cb + oc(occF_sweep, NCH) - 1,
+                          slv[1][..., None])
+        Cr = fx.C_bwt[1:5][::-1]
+        pr_lo = jnp.where(r_valid, Cr + oc(occR_sweep, 0)[..., ::-1],
+                          slv[2][..., None])
+        pr_hi = jnp.where(r_valid, Cr + oc(occR_sweep, NCH)[..., ::-1] - 1,
+                          slv[3][..., None])
+        freq = rank.interval_size(pf_lo, pf_hi) + rank.interval_size(pr_lo, pr_hi)
+        return pf_lo, pf_hi, pr_lo, pr_hi, freq
+
     # ---------- extendLeaves: optional kmer-size clamp refine --------------
     need_ref0 = run & (s.cur_k > consts.max_overlap)
     rf = _chain_slot(s.chain, consts.max_overlap, cfg.CK)
@@ -962,11 +1001,7 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
     cand9 = ((s.tail9[..., None] << 3) | b4) & ((1 << 27) - 1)   # [G, L, 4]
     cand5 = cand9 & ((1 << 15) - 1)
 
-    def attempt(flo, fhi, rlo, rhi, thresh):
-        if cfg.SLAB:
-            p = _probe4_slab(fx, slabF, slabR, flo, fhi, rlo, rhi, BF, BR)
-        else:
-            p = _probe4(ix, flo, fhi, rlo, rhi)
+    def attempt(p, thresh):
         pf_lo, pf_hi, pr_lo, pr_hi, freq = p
         total_cnt = jnp.sum(freq, axis=-1)
         max_freq = jnp.max(freq, axis=-1)
@@ -982,7 +1017,11 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
         ext = _leaf_choice(mask_t, mask_t1, alive1, s.local_err, min_err, leaf_cnt)
         return p, ext, (mask_t, mask_t1, m5, total_cnt, max_freq)
 
-    p0, extA, aux0 = attempt(f_lo, f_hi, r_lo, r_hi, consts.min_sa)
+    if cfg.SLAB:
+        p0_in = ext_slot(cur_k0)
+    else:
+        p0_in = _probe4(ix, f_lo, f_hi, r_lo, r_hi)
+    p0, extA, aux0 = attempt(p0_in, consts.min_sa)
     gapA = jnp.any(extA, axis=(1, 2))
 
     # ---------- level 1 (k reduce) + level 2 (threshold relax) -------------
@@ -1002,7 +1041,11 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
         freq3 = jnp.stack(freq3)
         reduce_size = _select_freqs_of_range(consts, freq3, lower, cur_k0, alive1)
         rf1 = _chain_slot(s.chain, reduce_size, cfg.CK)
-        p1, extB, aux1 = attempt(rf1[0], rf1[1], rf1[2], rf1[3], consts.min_sa)
+        if cfg.SLAB:
+            p1_in = ext_slot(reduce_size)
+        else:
+            p1_in = _probe4(ix, rf1[0], rf1[1], rf1[2], rf1[3])
+        p1, extB, aux1 = attempt(p1_in, consts.min_sa)
         # level 2: threshold-1 attempt on the refined intervals
         mask_t1, m5 = aux1[1], aux1[2]
         total_cnt, max_freq = aux1[3], aux1[4]
@@ -1094,43 +1137,26 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
         lower = jnp.maximum(cur_k_new - 2, consts.min_overlap)
         sym = jnp.broadcast_to(echar[None, :].astype(I32), (G, C))
         csym = _comp4(sym)
-        sts_L = []
-        for i in range(3):
-            j = jnp.clip(lower + i - 1 - cfg.CK, 0, cfg.NCHAIN - 1)
-            st = _osel(s.chain, j[:, None, None, None], axis=3)[..., 0]
-            sts_L.append(st)                       # [G, L, 4]
-        stsL = jnp.stack(sts_L)                    # [3, G, L, 4]
-        sts = stsL[:, :, parent]                   # [3, G, C, 4]
         if cfg.SLAB:
-            # L-space occ of all four bases at the 3x2 slot bounds, then a
-            # static (parent, base) select per candidate — avoids gathering
-            # per-candidate slab copies (the 4 children of a leaf query the
-            # same positions, only the base differs)
-            qF = jnp.moveaxis(
-                jnp.stack([stsL[..., 0] - 1, stsL[..., 1]], axis=-1), 0, 2
-            ).reshape(G, L, 6)
-            qR = jnp.moveaxis(
-                jnp.stack([stsL[..., 2] - 1, stsL[..., 3]], axis=-1), 0, 2
-            ).reshape(G, L, 6)
-            occF_L = _slab_occ_all(slabF, qF, BF)  # [G, L, 6, 4]
-            occR_L = _slab_occ_all(slabR, qR, BR)
+            # the candidate refinements are slot extensions — read them off
+            # the unified sweep, then a static (parent, base) select per
+            # candidate (the 4 children of a leaf share positions, only the
+            # extension base differs)
             baseF = np.arange(C) % 4               # F-side base per candidate
-            baseR = 3 - baseF                      # complement base index
-            occF = jnp.transpose(
-                occF_L[:, parent][:, np.arange(C), :, baseF], (1, 0, 2)
-            ).reshape(G, C, 3, 2)
-            occR = jnp.transpose(
-                occR_L[:, parent][:, np.arange(C), :, baseR], (1, 0, 2)
-            ).reshape(G, C, 3, 2)
-            occF = jnp.moveaxis(occF, 2, 0)        # [3, G, C, 2]
-            occR = jnp.moveaxis(occR, 2, 0)
-            f_empty = sts[..., 0] > sts[..., 1]
-            r_empty = sts[..., 2] > sts[..., 3]
-            e_f_lo = jnp.where(f_empty, 0, fx.C_rbwt[sym][None] + occF[..., 0])
-            e_f_hi = jnp.where(f_empty, -1, fx.C_rbwt[sym][None] + occF[..., 1] - 1)
-            e_r_lo = jnp.where(r_empty, 0, fx.C_bwt[csym][None] + occR[..., 0])
-            e_r_hi = jnp.where(r_empty, -1, fx.C_bwt[csym][None] + occR[..., 1] - 1)
+            exts = [ext_slot(lower + i - 1) for i in range(3)]
+            take = lambda a: a[:, parent, baseF]   # [G, L, 4] -> [G, C]
+            e_f_lo = jnp.stack([take(e[0]) for e in exts])   # [3, G, C]
+            e_f_hi = jnp.stack([take(e[1]) for e in exts])
+            e_r_lo = jnp.stack([take(e[2]) for e in exts])
+            e_r_hi = jnp.stack([take(e[3]) for e in exts])
         else:
+            sts_L = []
+            for i in range(3):
+                j = jnp.clip(lower + i - 1 - cfg.CK, 0, cfg.NCHAIN - 1)
+                st = _osel(s.chain, j[:, None, None, None], axis=3)[..., 0]
+                sts_L.append(st)                   # [G, L, 4]
+            stsL = jnp.stack(sts_L)                # [3, G, L, 4]
+            sts = stsL[:, :, parent]               # [3, G, C, 4]
             idx4 = jnp.stack([sts[..., 0] - 1, sts[..., 1], sts[..., 2] - 1,
                               sts[..., 3]], axis=1)    # [3, 4, G, C]
             sym4 = jnp.broadcast_to(jnp.stack([sym, sym, csym, csym])[None],
@@ -1338,16 +1364,16 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
     lsym = jnp.broadcast_to(lch[..., None], (G, L, NC - 1))
     lcsym = _comp4(lsym)
     if cfg.SLAB:
-        # occ of all four bases at every slot bound in ORIGINAL leaf space,
-        # then a (parent, char) select per new leaf — slab/B operands stay
-        # in L-space, no per-new-leaf slab gathers (positions are the
-        # parent's own slot bounds, so selecting the parent lane of the
-        # L-space result is the identical rank value)
-        prevL = s.chain[..., : NC - 1]              # [G, L, 4, NC-1]
-        qFL = jnp.concatenate([prevL[:, :, 0] - 1, prevL[:, :, 1]], axis=-1)
-        qRL = jnp.concatenate([prevL[:, :, 2] - 1, prevL[:, :, 3]], axis=-1)
-        occF_all = _slab_occ_all(slabF, qFL, BF)    # [G, L, 2(NC-1), 4]
-        occR_all = _slab_occ_all(slabR, qRL, BR)
+        # the advance ranks are slot-bound occ values already computed by
+        # the unified sweep; select (parent lane, extension char) per new
+        # leaf (positions are the parent's own slot bounds, so the parent
+        # lane of the L-space sweep is the identical rank value)
+        occF_all = jnp.concatenate(
+            [occF_sweep[:, :, : NC - 1], occF_sweep[:, :, NCH : NCH + NC - 1]],
+            axis=2)                                 # [G, L, 2(NC-1), 4]
+        occR_all = jnp.concatenate(
+            [occR_sweep[:, :, : NC - 1], occR_sweep[:, :, NCH : NCH + NC - 1]],
+            axis=2)
         occFp = _osel(occF_all, leaf_parent[:, :, None, None], axis=1)
         occRp = _osel(occR_all, leaf_parent[:, :, None, None], axis=1)
         occF = _osel(occFp, (lch - 1)[:, :, None, None], axis=3)[..., 0]
@@ -1507,9 +1533,25 @@ def run_to_completion(wx: WalkIndex, consts: WalkConsts, state: WalkState,
     return st
 
 
+def submit_gap_batch(host_ix, dev_ix, tasks, cfg: WalkConfig,
+                     pacbio_error_rate: float, pb_coverage: int,
+                     max_steps: int = 4096):
+    """Enqueue one gap batch on the device without blocking.
+
+    Device dispatch is asynchronous, so a caller can submit every batch of
+    a round first and only then start collecting — later batches compute
+    while earlier ones are read back through the tunnel."""
+    wx = dev_ix if isinstance(dev_ix, WalkIndex) else WalkIndex.build(dev_ix, host_ix)
+    consts, state = build_batch(host_ix, tasks, cfg, pacbio_error_rate,
+                                pb_coverage, dev_ix=wx.ix)
+    state = run_to_completion(wx, consts, state, cfg, max_steps)
+    return tasks, cfg, _reduce_results(state, cfg)
+
+
 def run_gap_batch(host_ix, dev_ix, tasks, cfg: WalkConfig,
                   pacbio_error_rate: float, pb_coverage: int,
-                  max_steps: int = 4096, check_every: int = 32):
+                  max_steps: int = 4096, check_every: int = 32,
+                  _handle=None):
     """Run a batch of GapTasks on the device engine to completion.
 
     Returns list of (code, merged_seq) aligned with tasks.  Gaps whose result
@@ -1517,17 +1559,11 @@ def run_gap_batch(host_ix, dev_ix, tasks, cfg: WalkConfig,
     -100)."""
     import os as _os, sys as _sys, time as _time
     _dbg = _os.environ.get("LRSC_DEBUG_TIMING")
-    wx = dev_ix if isinstance(dev_ix, WalkIndex) else WalkIndex.build(dev_ix, host_ix)
     _t0 = _time.time()
-    consts, state = build_batch(host_ix, tasks, cfg, pacbio_error_rate,
-                                pb_coverage, dev_ix=wx.ix)
-    _t1 = _time.time()
-    state = run_to_completion(wx, consts, state, cfg, max_steps)
-    code_d, over_d, has_d, lab_d, len_d, i_d = _reduce_results(state, cfg)
-    code_d.block_until_ready()
-    if _dbg:
-        print(f"[timing]   gap_batch n={len(tasks)} G={cfg.G}: build {_t1-_t0:.2f}s"
-              f" device {_time.time()-_t1:.2f}s", file=_sys.stderr, flush=True)
+    if _handle is None:
+        _handle = submit_gap_batch(host_ix, dev_ix, tasks, cfg,
+                                   pacbio_error_rate, pb_coverage, max_steps)
+    tasks, cfg, (code_d, over_d, has_d, lab_d, len_d, i_d) = _handle
     red_np = {
         "code": np.asarray(code_d),
         "res_overflow": np.asarray(over_d),
@@ -1536,6 +1572,10 @@ def run_gap_batch(host_ix, dev_ix, tasks, cfg: WalkConfig,
         "len": np.asarray(len_d),
         "i": np.asarray(i_d),
     }
+    if _dbg:
+        print(f"[timing]   gap_batch n={len(tasks)} G={cfg.G}:"
+              f" device+collect {_time.time()-_t0:.2f}s",
+              file=_sys.stderr, flush=True)
     out = []
     retry = []
     retry_dense = []
