@@ -21,6 +21,61 @@ from .seeds import Seed
 from ..ops import scan, walk
 
 
+# device-computed table depth; larger k served lazily by the host.  Keep it
+# above kmer_len_up_bound: the dynamic ladder and estimateBestKmerSize walk
+# k all the way there on long seeds, and host-tail lookups are ~100us each.
+KTAB = 64
+
+
+class _LazyTailRow:
+    """One freq/valid row for k beyond the device table (rare accesses)."""
+
+    def __init__(self, tables: "_LazyTables", k: int, kind: str):
+        self._t = tables
+        self._k = k
+        self._kind = kind
+
+    def __getitem__(self, pos: int):
+        f, v = self._t._lookup(self._k, int(pos))
+        return f if self._kind == "freq" else v
+
+
+class _LazyView:
+    def __init__(self, tables: "_LazyTables", arr, kind: str):
+        self._t = tables
+        self._arr = arr
+        self._kind = kind
+
+    def __getitem__(self, k: int):
+        if k < self._arr.shape[0]:
+            return self._arr[k]
+        return _LazyTailRow(self._t, k, self._kind)
+
+
+class _LazyTables:
+    """freq/valid tables: dense device rows for k <= KTAB, host FM walks on
+    demand above (dynamic k-mers only outgrow KTAB on long repeat seeds)."""
+
+    def __init__(self, freq_arr, valid_arr, ix, codes):
+        self._ix = ix
+        self._codes = codes
+        self._cache: dict = {}
+        self.freq = _LazyView(self, freq_arr, "freq")
+        self.valid = _LazyView(self, valid_arr, "valid")
+
+    def _lookup(self, k: int, pos: int):
+        key = (k, pos)
+        hit = self._cache.get(key)
+        if hit is None:
+            if pos + k > len(self._codes):
+                hit = (-1, False)  # fake (KmerFeature.h:62,90)
+            else:
+                st = self._ix.find_bi_interval(self._codes[pos : pos + k])
+                hit = (int(self._ix.bi_freq(st)), bool(self._ix.bi_valid(st)))
+            self._cache[key] = hit
+        return hit
+
+
 class BatchedSelfCorrector(SelfCorrector):
     """SelfCorrector with device-prefetched FM-extension walks."""
 
@@ -99,7 +154,7 @@ class BatchedSelfCorrector(SelfCorrector):
         """Per-position (k, pos) freq/valid tables for all reads, on device."""
         import jax.numpy as jnp
 
-        max_k = self.probe_params.kmer_len_up_bound + 1
+        max_k = min(self.probe_params.kmer_len_up_bound + 1, KTAB)
         # fixed shape (R=64 chunks, L in 512 buckets): the scan kernel
         # compiles once per L bucket regardless of batch size
         R = 64
@@ -143,9 +198,11 @@ class BatchedSelfCorrector(SelfCorrector):
         per_read = []
         for i, (rid, seq) in enumerate(items):
             ln = int(lens[i])
+            tabs = _LazyTables(freq_all[:, i, :ln], valid_all[:, i, :ln],
+                               self.ix, ab.encode(seq))
             seeds = seedmod.search_seeds(
                 seq, self.ix, self.probe_params, self.thresh,
-                freq_table=freq_all[:, i, :ln], valid_table=valid_all[:, i, :ln],
+                freq_table=tabs.freq, valid_table=tabs.valid,
             )
             per_read.append((rid, seq, seeds))
         if _dbg: print(f"[timing] seed scan: {_time.time()-_t0:.1f}s", file=sys.stderr, flush=True)
