@@ -297,11 +297,17 @@ class BatchedSelfCorrector(SelfCorrector):
             for base in range(0, len(order), cfg.G):
                 sel = order[base : base + cfg.G]
                 chunk = [tasks[i] for i in sel]
+                # partial chunks run in a small-G variant of the config —
+                # the superstep is latency-bound below ~64 lanes
+                cfg_eff = cfg
+                gq = walk._quant_g(len(sel), cfg.G)
+                if gq < cfg.G:
+                    cfg_eff = _rep(cfg, G=gq)
                 h = walk.submit_gap_batch(
-                    self.ix, self.wx, chunk, cfg,
+                    self.ix, self.wx, chunk, cfg_eff,
                     self.params.error_rate, self.params.pb_coverage,
                 )
-                submitted.append((sel, chunk, cfg, h))
+                submitted.append((sel, chunk, cfg_eff, h))
         for sel, chunk, cfg, h in submitted:
             res = walk.run_gap_batch(
                 self.ix, self.wx, chunk, cfg,

@@ -264,7 +264,13 @@ class WalkState:
     num_errors: jax.Array
     seed_idx_offset: jax.Array
     query_overlap_len: jax.Array
-    redeem: jax.Array        # err_dtype
+    red_a: jax.Array         # i32: count of (1 - e) redeem increments
+    red_b: jax.Array         # i32: count of (seed_size-1)*e redeem increments
+                             # (numRedeemSeed tracked as INTEGER counters so
+                             # error rates are canonical f32 functions of the
+                             # history — an accumulated f32 redeem drifted and
+                             # broke the attempToExtend local_err == min_err
+                             # retry equality the reference tests in double)
     res_first: jax.Array     # i32 (resultindex.first, -1 none)
     res_second: jax.Array    # i32
     tail_letter: jax.Array   # i8
@@ -277,6 +283,10 @@ class WalkState:
                              # incrementally so refineSAInterval /
                              # SelectFreqsOfrange never re-walk LF chains
     local_err: jax.Array     # err_dtype [G, L]
+    err_u: jax.Array         # i32 [G, L]: local_err == (U + V*e)/P while the
+    err_v: jax.Array         # i32       stored value is a plain gerr
+    err_p: jax.Array         # i32       (gerr_n < RING) — used for the EXACT
+                             # equality the retry ladder needs (see red_a)
     gerr_last: jax.Array     # err_dtype [G, L]
     ring: jax.Array          # err_dtype [G, L, RING]
     # per gap
@@ -300,9 +310,9 @@ WalkState = _register(
         "labels", "f_lo", "f_hi", "r_lo", "r_hi", "alive", "kmer_freq",
         "total_kmer", "last_seed_idx", "last_overlap_len", "total_seeds",
         "curr_overlap_len", "num_errors", "seed_idx_offset",
-        "query_overlap_len", "redeem", "res_first", "res_second",
+        "query_overlap_len", "red_a", "red_b", "res_first", "res_second",
         "tail_letter", "tail_count", "tail9", "tail8", "chain",
-        "local_err", "gerr_last", "ring",
+        "local_err", "err_u", "err_v", "err_p", "gerr_last", "ring",
         "active", "cur_len", "cur_k", "gerr_n", "code",
         "res_labels", "res_len", "res_err", "res_i", "res_count",
         "res_overflow",
@@ -475,7 +485,8 @@ def _prep_batch(ix: IndexSet, query, q_len, trg, trg_len, n_term, init_k,
         num_errors=jnp.zeros(GL, I32),
         seed_idx_offset=jnp.zeros(GL, I32),
         query_overlap_len=put(init_k),
-        redeem=jnp.zeros(GL, ed),
+        red_a=jnp.zeros(GL, I32),
+        red_b=jnp.zeros(GL, I32),
         res_first=jnp.full(GL, -1, I32),
         res_second=jnp.full(GL, -1, I32),
         tail_letter=jnp.where(u_l, tail_letter_0[:, None], jnp.int8(0)),
@@ -484,6 +495,9 @@ def _prep_batch(ix: IndexSet, query, q_len, trg, trg_len, n_term, init_k,
         tail8=put(tail8_0),
         chain=chain,
         local_err=jnp.zeros(GL, ed),
+        err_u=jnp.zeros(GL, I32),
+        err_v=jnp.zeros(GL, I32),
+        err_p=jnp.ones(GL, I32),
         gerr_last=jnp.zeros(GL, ed),
         ring=jnp.zeros((G, L, cfg.RING), ed),
         active=used,
@@ -858,12 +872,12 @@ def _cutoff_mask(cfg, consts, freq4, total_cnt, max_freq, match5, tail_count, th
     return ratio >= cut
 
 
-def _leaf_choice(ext_t, ext_t1, alive, local_err, min_err, leaf_cnt):
+def _leaf_choice(ext_t, ext_t1, alive, retry_ok):
     """attempToExtend per-leaf retry ladder (:406-455): use the threshold-T
     mask; a leaf with no extension retries at T-1 iff it carries the minimum
-    local error rate and it is not the only leaf."""
+    local error rate (retry_ok, exact-compared by the caller) and it is not
+    the only leaf."""
     any_t = jnp.any(ext_t, axis=-1)
-    retry_ok = (local_err == min_err[:, None]) & (leaf_cnt[:, None] > 1)
     use = jnp.where(
         any_t[..., None], ext_t, jnp.where(retry_ok[..., None], ext_t1, False)
     )
@@ -995,6 +1009,30 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
     alive1 = s.alive & ~erase
     leaf_cnt = jnp.sum(alive1, axis=1).astype(I32)
 
+    # per-leaf retry eligibility (attempToExtend :406-455): the reference
+    # tests local_err == minimum in double; while the stored value is a
+    # plain gerr (gerr_n < RING) we compare the integer rational
+    # (U + V*e)/P exactly by cross-multiplication (products <= MAXLEN^2
+    # fit i32), falling back to f32 value equality for ring-window values
+    is_min = jnp.where(s.alive, s.local_err, big) == min_err[:, None]
+    fmin = jnp.argmax(is_min, axis=1)
+    g1 = lambda a: _osel(a, fmin[:, None], axis=1)
+    mu, mv, mp_ = g1(s.err_u), g1(s.err_v), g1(s.err_p)
+    exact_eq = ((s.err_u * mp_ == mu * s.err_p)
+                & (s.err_v * mp_ == mv * s.err_p))
+    val_eq = jnp.where((s.gerr_n < cfg.RING)[:, None], exact_eq,
+                       s.local_err == min_err[:, None])
+    retry_ok = val_eq & (leaf_cnt[:, None] > 1)
+    # host-float-drift hazard: a DISTINCT leaf ties the min-error leaf
+    # exactly.  The reference tests equality on per-leaf accumulated
+    # doubles, so its outcome on such ties is accumulation-order noise that
+    # f32 cannot reproduce; if the tie actually gates a retry this step,
+    # flag the gap for host replay (res_overflow reuses the existing
+    # "replay on host" routing).  Distinct rationals with denominators
+    # <= MAXLEN cannot drift together in f64, so non-ties are safe.
+    tie_leaf = (retry_ok & s.alive
+                & (jnp.arange(L, dtype=I32)[None, :] != fmin[:, None]))
+
     # ---------- attempt at base threshold (level 0) ------------------------
     # candidate suffix codes (shared by every attempt round — label-derived)
     b4 = jnp.arange(1, 5, dtype=I32)
@@ -1014,14 +1052,19 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
                               s.tail_count, thresh)
         mask_t1 = _cutoff_mask(cfg, consts, freq, total_cnt, max_freq, m5,
                                s.tail_count, thresh - 1)
-        ext = _leaf_choice(mask_t, mask_t1, alive1, s.local_err, min_err, leaf_cnt)
-        return p, ext, (mask_t, mask_t1, m5, total_cnt, max_freq)
+        ext = _leaf_choice(mask_t, mask_t1, alive1, retry_ok)
+        # drift hazard is live only when the tie actually gates this retry
+        haz = jnp.any(
+            tie_leaf & alive1 & ~jnp.any(mask_t, -1) & jnp.any(mask_t1, -1),
+            axis=1,
+        )
+        return p, ext, (mask_t, mask_t1, m5, total_cnt, max_freq), haz
 
     if cfg.SLAB:
         p0_in = ext_slot(cur_k0)
     else:
         p0_in = _probe4(ix, f_lo, f_hi, r_lo, r_hi)
-    p0, extA, aux0 = attempt(p0_in, consts.min_sa)
+    p0, extA, aux0, hazA = attempt(p0_in, consts.min_sa)
     gapA = jnp.any(extA, axis=(1, 2))
 
     # ---------- level 1 (k reduce) + level 2 (threshold relax) -------------
@@ -1045,27 +1088,31 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
             p1_in = ext_slot(reduce_size)
         else:
             p1_in = _probe4(ix, rf1[0], rf1[1], rf1[2], rf1[3])
-        p1, extB, aux1 = attempt(p1_in, consts.min_sa)
+        p1, extB, aux1, hazB = attempt(p1_in, consts.min_sa)
         # level 2: threshold-1 attempt on the refined intervals
         mask_t1, m5 = aux1[1], aux1[2]
         total_cnt, max_freq = aux1[3], aux1[4]
         mask_t2 = _cutoff_mask(cfg, consts, p1[4], total_cnt, max_freq, m5,
                                s.tail_count, consts.min_sa - 2)
-        extC = _leaf_choice(mask_t1, mask_t2, alive1, s.local_err, min_err, leaf_cnt)
-        return reduce_size, rf1, p1, extB, extC
+        extC = _leaf_choice(mask_t1, mask_t2, alive1, retry_ok)
+        hazC = jnp.any(
+            tie_leaf & alive1 & ~jnp.any(mask_t1, -1) & jnp.any(mask_t2, -1),
+            axis=1,
+        )
+        return reduce_size, rf1, p1, extB, extC, hazB | hazC
 
     def no_level12(_):
         z = jnp.zeros((G, L), I32)
         zb = jnp.zeros((G, L, 4), bool)
         zp = (jnp.zeros((G, L, 4), I32),) * 4 + (jnp.zeros((G, L, 4), I32),)
-        return cur_k0, (z, z - 1, z, z - 1), zp, zb, zb
+        return cur_k0, (z, z - 1, z, z - 1), zp, zb, zb, jnp.zeros(G, bool)
 
     if cfg.SLAB:
         # with slab occ the relaxation probes are on-chip math — compute
         # them unconditionally instead of gating on an all-gap reduction
-        reduce_size, rf1, p1, extB, extC = level12(None)
+        reduce_size, rf1, p1, extB, extC, hazBC = level12(None)
     else:
-        reduce_size, rf1, p1, extB, extC = jax.lax.cond(
+        reduce_size, rf1, p1, extB, extC, hazBC = jax.lax.cond(
             jnp.any(need_l1), level12, no_level12, operand=None
         )
     gapB = jnp.any(extB, axis=(1, 2)) & need_l1
@@ -1108,7 +1155,8 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
     c_total_seeds = par(s.total_seeds)
     c_num_err = par(s.num_errors)
     c_sio = par(s.seed_idx_offset)
-    c_redeem = par(s.redeem)
+    c_red_a = par(s.red_a)
+    c_red_b = par(s.red_b)
     c_res_first = par(s.res_first)
     c_res_second = par(s.res_second)
     c_ring = s.ring[:, parent, :]
@@ -1219,19 +1267,13 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
     miss = do_match & ~found
 
     v_found = curr_seed_idx[:, None] + c_sio - c_last_seed
-    c_redeem = c_redeem + jnp.where(
-        found & (v_found > cfg.seed_size),
-        jnp.asarray(cfg.seed_size - 1, ed) * consts.pacbio_e.astype(ed), 0,
-    )
+    c_red_b = c_red_b + jnp.where(found & (v_found > cfg.seed_size), 1, 0)
     v_miss = curr_seed_idx[:, None] + c_sio - c_last_seed
     c_num_err = c_num_err + jnp.where(miss & (v_miss % cfg.seed_size == 1), 1, 0)
-    c_redeem = c_redeem + jnp.where(
-        miss & (v_miss % cfg.seed_size != 1) & (v_miss > cfg.seed_size - 1),
-        1 - consts.pacbio_e.astype(ed), 0,
+    c_red_a = c_red_a + jnp.where(
+        miss & (v_miss % cfg.seed_size != 1) & (v_miss > cfg.seed_size - 1), 1, 0
     )
-    c_redeem = c_redeem + jnp.where(
-        cand & ~do_match, 1 - consts.pacbio_e.astype(ed), 0
-    )
+    c_red_a = c_red_a + jnp.where(cand & ~do_match, 1, 0)
     c_sio = jnp.where(found, best_pos - curr_seed_idx[:, None], c_sio)
     c_last_seed = jnp.where(found, best_pos, c_last_seed)
     c_query_ovl = jnp.where(found, best_pos + cfg.seed_size, c_query_ovl)
@@ -1239,12 +1281,14 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
     c_curr_ovl = jnp.where(found, cur_len_new[:, None], c_curr_ovl)
     c_total_seeds = c_total_seeds + found.astype(I32)
 
-    # computeErrorRate (:638-664)
-    matched = (
-        c_total_seeds.astype(ed) + jnp.asarray(cfg.seed_size - 1, ed) + c_redeem
-    )
+    # computeErrorRate (:638-664) — one canonical expression from integer
+    # counters (total - matched == U + V*e), so leaves with identical
+    # histories produce bitwise-identical f32 error rates and the exact
+    # (U, V, P) triple feeds the retry-equality test
+    c_U = c_curr_ovl - c_total_seeds - (cfg.seed_size - 1) - c_red_a
+    c_V = c_red_a - (cfg.seed_size - 1) * c_red_b
     total = c_curr_ovl.astype(ed)
-    gerr = (total - matched) / total
+    gerr = (c_U.astype(ed) + c_V.astype(ed) * consts.pacbio_e.astype(ed)) / total
     n_app = s.gerr_n + 1
     slot_w = (n_app - 1) % cfg.RING
     slot_r = n_app % cfg.RING
@@ -1285,7 +1329,9 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
         is_new_res, s.res_count[:, None] + new_rank - 1,
         jnp.where(t_found, c_res_first - 1, -1),
     )
-    res_overflow = s.res_overflow | jnp.any(slot >= cfg.RMAX, axis=1)
+    fp_hazard = run & (hazA | (hazBC & need_l1))
+    res_overflow = (s.res_overflow | jnp.any(slot >= cfg.RMAX, axis=1)
+                    | fp_hazard)
     writer = t_found & (slot >= 0) & (slot < cfg.RMAX)
     c_res_first = jnp.where(is_new_res, slot + 1, c_res_first)
     c_res_second = jnp.where(t_found, imax, c_res_second)
@@ -1437,7 +1483,8 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
         num_errors=upd(s.num_errors, c_num_err),
         seed_idx_offset=upd(s.seed_idx_offset, c_sio),
         query_overlap_len=upd(s.query_overlap_len, c_query_ovl),
-        redeem=upd(s.redeem, c_redeem),
+        red_a=upd(s.red_a, c_red_a),
+        red_b=upd(s.red_b, c_red_b),
         res_first=upd(s.res_first, c_res_first),
         res_second=upd(s.res_second, c_res_second),
         tail_letter=upd(s.tail_letter, c_tail_letter),
@@ -1446,6 +1493,9 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
         tail8=new_tail8,
         chain=new_chain,
         local_err=upd(s.local_err, local),
+        err_u=upd(s.err_u, c_U),
+        err_v=upd(s.err_v, c_V),
+        err_p=upd(s.err_p, c_curr_ovl),
         gerr_last=upd(s.gerr_last, gerr),
         ring=new_ring,
         active=s.active,
@@ -1533,6 +1583,16 @@ def run_to_completion(wx: WalkIndex, consts: WalkConsts, state: WalkState,
     return st
 
 
+def _quant_g(n: int, g_max: int) -> int:
+    """Quantize a lane count to {16, 64, g_max}: every distinct G is a
+    separate while-loop compile (minutes cold), and below ~64 lanes the
+    superstep is latency-bound anyway (0.22 ms at G=64 vs 1.0 at G=512)."""
+    for g in (16, 64):
+        if n <= g and g <= g_max:
+            return g
+    return g_max
+
+
 def submit_gap_batch(host_ix, dev_ix, tasks, cfg: WalkConfig,
                      pacbio_error_rate: float, pb_coverage: int,
                      max_steps: int = 4096):
@@ -1600,7 +1660,7 @@ def run_gap_batch(host_ix, dev_ix, tasks, cfg: WalkConfig,
         # slab span overflow (wide repeat inside the walk label): replay on
         # the dense-gather engine, which has no span limit
         from dataclasses import replace as _rep
-        dense = _rep(cfg, SLAB=False, G=max(16, min(cfg.G, len(retry_dense))))
+        dense = _rep(cfg, SLAB=False, G=_quant_g(len(retry_dense), cfg.G))
         sub = [tasks[g] for g in retry_dense]
         for base in range(0, len(sub), dense.G):
             chunk = sub[base : base + dense.G]
@@ -1616,7 +1676,7 @@ def run_gap_batch(host_ix, dev_ix, tasks, cfg: WalkConfig,
         else:
             from dataclasses import replace as _rep
             wide = _rep(cfg, L=cfg.max_leaves, CAND=4 * cfg.max_leaves,
-                        G=max(16, min(cfg.G, len(retry))))
+                        G=_quant_g(len(retry), cfg.G))
             sub = [tasks[g] for g in retry]
             for base in range(0, len(sub), wide.G):
                 chunk = sub[base : base + wide.G]
