@@ -291,6 +291,46 @@ def cmd_pbhc(args) -> int:
     return 0
 
 
+def cmd_kmercheck(args) -> int:
+    """Correct-vs-error k-mer distributions under a barcode ground truth
+    (StriDe/kmercheck.cpp:77, PacBio/KmerCheckProcess.cpp:12-66)."""
+    from .core import alphabet as ab
+    from .core import bcode as bc
+    from .core import kmercheck as kc
+    from .io import fasta
+
+    ix = _load_host_index(args.prefix)
+    log = bc.load_barcode(args.barcode)
+    os.makedirs(args.directory, exist_ok=True)
+    crt_map: dict = {}
+    err_map: dict = {}
+    n = 0
+    print(f"Using kmer size : {args.lower} - {args.upper} ({args.step})",
+          file=sys.stderr)
+    for rec in fasta.read_seqs(args.readsfile):
+        blocks = log.get(rec.id)
+        if not blocks:
+            continue
+        freq, _valid = ix.kmer_freq_table(ab.encode(rec.seq), args.upper)
+        kc.scan_read(lambda k, pos: freq[k][pos], rec.seq, blocks,
+                     args.lower, args.upper, args.step, crt_map, err_map)
+        n += 1
+    with open(os.path.join(args.directory, "total.box"), "a") as ft, open(
+        os.path.join(args.directory, "value.box"), "a"
+    ) as fv:
+        for k in range(args.lower, args.upper + 1, args.step):
+            tline, vline = kc.compare_lines(
+                args.coverage, k,
+                crt_map.get(k, kc.KmerDistribution()),
+                err_map.get(k, kc.KmerDistribution()),
+            )
+            ft.write(tline + "\n")
+            fv.write(vline + "\n")
+    print(f"kmercheck: {n} reads scanned -> "
+          f"{args.directory}/total.box value.box", file=sys.stderr)
+    return 0
+
+
 def cmd_kmerfreq(args) -> int:
     from .core import alphabet as ab
     from .core.threshold import KmerThreshold
@@ -472,6 +512,59 @@ def cmd_overlap(args) -> int:
             asqg.write_edge(fh, o)
     print(f"overlap: {len(records)} reads, {stats['edges']} edges, "
           f"{stats['substrings']} substrings -> {out}", file=sys.stderr)
+    return 0
+
+
+def cmd_asmlong(args) -> int:
+    """Long-read string-graph assembly (StriDe/asmlong.cpp:116-226): the
+    corrected-long-read variant of assemble — containment removal,
+    transitive reduction, unipath simplify, bubble/tip smoothing, then one
+    overlap-length-difference chimera pass."""
+    from .graph import asqg
+    from .graph.visitors import (ContainRemoveVisitor, FastaVisitor,
+                                 GraphStatsVisitor,
+                                 RemoveByOverlapLenDiffVisitor,
+                                 TransitiveReductionVisitor, contig_stats,
+                                 graph_trim_and_smooth)
+
+    max_chimera = args.max_chimera or 2 * args.insert_size
+    print(f"Maximum Chimera Length : {max_chimera}", file=sys.stderr)
+    print(f"Insert Size            : {args.insert_size}", file=sys.stderr)
+
+    g = asqg.load(args.asqgfile, args.min_overlap, max_edges=args.max_edges)
+    stats = GraphStatsVisitor()
+    print("[Stats] Input graph:", file=sys.stderr)
+    g.visit(stats)
+
+    contain = ContainRemoveVisitor()
+    while g.has_containment:
+        g.visit(contain)
+    g.visit(TransitiveReductionVisitor())
+    g.simplify()
+    print("[Stats] Simplified graph:", file=sys.stderr)
+    g.visit(stats)
+
+    # bubble/tip removal (asmlong.cpp:192-198)
+    graph_trim_and_smooth(g, max_chimera, None, args.max_indel)
+
+    # chimeric-edge pass from large vertices (asmlong.cpp:201-205)
+    min_overlap_len = int(args.insert_size * args.min_overlap_ratio)
+    if g.visit(RemoveByOverlapLenDiffVisitor(
+            1600, min_overlap_len, args.insert_size // 10,
+            island_protect=False)):
+        pass
+    graph_trim_and_smooth(g, max_chimera, None, args.max_indel)
+
+    g.rename_vertices("")
+    print("[Stats] Final graph:", file=sys.stderr)
+    g.visit(stats)
+    cs = contig_stats(g)
+    print(f"contigs: {cs['contigs']} total {cs['total']} "
+          f"n50 {cs['n50']} max {cs['max']}", file=sys.stderr)
+    with open(args.out_prefix + "-contigs.fa", "w") as fh:
+        g.visit(FastaVisitor(fh))
+    asqg.write(args.out_prefix + "-graph.asqg.gz", g)
+    g.write_dot("StriDe-graph.dot")
     return 0
 
 
@@ -662,6 +755,19 @@ def main(argv=None) -> int:
     p.add_argument("--max-indel", type=int, default=9, dest="max_indel")
     p.set_defaults(func=cmd_assemble)
 
+    p = sub.add_parser("asmlong", help="long-read string-graph assembly")
+    p.add_argument("asqgfile")
+    p.add_argument("-p", "--prefix", default=None)
+    p.add_argument("-o", "--out-prefix", default="StriDe", dest="out_prefix")
+    p.add_argument("-m", "--min-overlap", type=int, default=30, dest="min_overlap")
+    p.add_argument("-i", "--insert-size", type=int, required=True, dest="insert_size")
+    p.add_argument("-x", "--max-chimera", type=int, default=0, dest="max_chimera")
+    p.add_argument("-T", "--min-overlap-ratio", type=float, default=0.8,
+                   dest="min_overlap_ratio")
+    p.add_argument("--max-edges", type=int, default=512, dest="max_edges")
+    p.add_argument("--max-indel", type=int, default=100, dest="max_indel")
+    p.set_defaults(func=cmd_asmlong)
+
     p = sub.add_parser("grep", help="locate a pattern's reads via the index")
     p.add_argument("readsfile")
     p.add_argument("-p", "--prefix", required=True)
@@ -684,6 +790,19 @@ def main(argv=None) -> int:
     p.add_argument("-p", "--prefix", required=True)
     p.add_argument("-c", "--PBcoverage", type=int, default=90)
     p.set_defaults(func=cmd_kmerfreq)
+
+    p = sub.add_parser(
+        "kmercheck",
+        help="correct-vs-error kmer distributions vs a barcode ground truth")
+    p.add_argument("readsfile")
+    p.add_argument("-p", "--prefix", required=True)
+    p.add_argument("-o", "--directory", required=True)
+    p.add_argument("-b", "--barcode", required=True)
+    p.add_argument("-c", "--coverage", type=int, default=90)
+    p.add_argument("-l", "--lower", type=int, default=15)
+    p.add_argument("-u", "--upper", type=int, default=35)
+    p.add_argument("-s", "--step", type=int, default=1)
+    p.set_defaults(func=cmd_kmercheck)
 
     args = parser.parse_args(argv)
     return args.func(args)

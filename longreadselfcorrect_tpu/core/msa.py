@@ -194,6 +194,32 @@ class MultipleAlignment:
 # LongReadOverlap
 # ---------------------------------------------------------------------------
 
+_B2C = np.frombuffer(b"$ACGT", dtype=np.uint8)
+
+
+def _lf_extract(fm, roots: np.ndarray, max_steps: int):
+    """Batched LF extraction: the next <= max_steps symbols reached from
+    each BWT row (per-row stop at $).  Vectorises retrieveStr's inner
+    per-row per-base LF loop (LongReadOverlap.cpp:700-751), which
+    serialised every DP gap on the host.
+    Returns (mat int8 [N, max_steps], lens [N])."""
+    idx = np.asarray(roots, np.int64)
+    N = len(idx)
+    out = np.zeros((N, max(max_steps, 1)), np.int8)
+    alive = np.ones(N, bool)
+    lens = np.zeros(N, np.int64)
+    for step in range(max_steps):
+        if not alive.any():
+            break
+        b = fm.symbols[idx].astype(np.int64)
+        alive = alive & (b != 0)
+        out[alive, step] = b[alive]
+        lens[alive] += 1
+        nxt = fm.pc(b) + fm.occ(b, idx - 1)
+        idx = np.where(alive, nxt, idx)
+    return out, lens
+
+
 def retrieve_str(query: str, seed_size: int, max_length: int, ix, is_rc: bool,
                  coverage: int) -> list[str]:
     """retrieveStr (LongReadOverlap.cpp:667-756): LF-walk extraction of every
@@ -207,33 +233,22 @@ def retrieve_str(query: str, seed_size: int, max_length: int, ix, is_rc: bool,
     r_lo, r_hi = (int(x) for x in ix.bwt.find_interval(ab.encode(ab.revcomp_str(init_kmer))))
 
     out: list[str] = []
-    rbwt_sym = ix.rbwt.symbols
-    bwt_sym = ix.bwt.symbols
+    steps = max_length - len(init_kmer)
 
     if f_lo <= f_hi:
-        for root in range(f_lo, min(f_hi + 1, f_lo + coverage)):
-            chars = list(init_kmer)
-            idx = root
-            for _ in range(len(init_kmer), max_length):
-                b = int(rbwt_sym[idx])
-                if b == 0:
-                    break
-                chars.append("$ACGT"[b])
-                idx = int(ix.rbwt.pc(b)) + int(ix.rbwt.occ(b, idx - 1))
-            s = "".join(chars)
+        roots = np.arange(f_lo, min(f_hi + 1, f_lo + coverage))
+        mat, lens = _lf_extract(ix.rbwt, roots, steps)
+        for r in range(len(roots)):
+            s = init_kmer + _B2C[mat[r, : lens[r]]].tobytes().decode()
             out.append(ab.revcomp_str(s) if is_rc else s)
 
     if r_lo <= r_hi:
-        for root in range(r_lo, min(r_hi + 1, r_lo + coverage)):
-            chars = list(ab.revcomp_str(init_kmer))
-            idx = root
-            for _ in range(len(init_kmer), max_length):
-                b = int(bwt_sym[idx])
-                if b == 0:
-                    break
-                chars.insert(0, "$ACGT"[b])
-                idx = int(ix.bwt.pc(b)) + int(ix.bwt.occ(b, idx - 1))
-            s = "".join(chars)
+        roots = np.arange(r_lo, min(r_hi + 1, r_lo + coverage))
+        mat, lens = _lf_extract(ix.bwt, roots, steps)
+        rc_init = ab.revcomp_str(init_kmer)
+        for r in range(len(roots)):
+            # the reference PREPENDS each extracted char
+            s = _B2C[mat[r, : lens[r]][::-1]].tobytes().decode() + rc_init
             out.append(s if is_rc else ab.revcomp_str(s))
     return out
 

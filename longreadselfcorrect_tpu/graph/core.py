@@ -414,3 +414,25 @@ class StringGraph:
         nv = len(self.vertices)
         ne = sum(len(v.edges) for v in self.vertices.values()) // 2
         return {"vertices": nv, "edges": ne}
+
+    def rename_vertices(self, prefix: str = "") -> None:
+        """Compact vertex ids to prefix + running index
+        (Bigraph::renameVertices, Bigraph/Bigraph.h:120)."""
+        renamed = {}
+        for i, v in enumerate(self.vertices.values()):
+            v.id = f"{prefix}{i}"
+            renamed[v.id] = v
+        self.vertices = renamed
+
+    def write_dot(self, path: str) -> None:
+        """Graphviz dump (Bigraph::writeDot, Bigraph/Bigraph.h:133)."""
+        with open(path, "w") as fh:
+            fh.write("digraph G\n{\n")
+            for v in self.vertices.values():
+                fh.write(f'{v.id} [ label ="{v.id}" ];\n')
+            for v in self.vertices.values():
+                for e in v.edges:
+                    fh.write(
+                        f'{e.start.id} -> {e.end.id} [ label ="{e.dir},{e.comp}" ];\n'
+                    )
+            fh.write("}\n")

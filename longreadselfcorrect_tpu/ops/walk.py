@@ -283,10 +283,6 @@ class WalkState:
                              # incrementally so refineSAInterval /
                              # SelectFreqsOfrange never re-walk LF chains
     local_err: jax.Array     # err_dtype [G, L]
-    err_u: jax.Array         # i32 [G, L]: local_err == (U + V*e)/P while the
-    err_v: jax.Array         # i32       stored value is a plain gerr
-    err_p: jax.Array         # i32       (gerr_n < RING) — used for the EXACT
-                             # equality the retry ladder needs (see red_a)
     gerr_last: jax.Array     # err_dtype [G, L]
     ring: jax.Array          # err_dtype [G, L, RING]
     # per gap
@@ -312,7 +308,7 @@ WalkState = _register(
         "curr_overlap_len", "num_errors", "seed_idx_offset",
         "query_overlap_len", "red_a", "red_b", "res_first", "res_second",
         "tail_letter", "tail_count", "tail9", "tail8", "chain",
-        "local_err", "err_u", "err_v", "err_p", "gerr_last", "ring",
+        "local_err", "gerr_last", "ring",
         "active", "cur_len", "cur_k", "gerr_n", "code",
         "res_labels", "res_len", "res_err", "res_i", "res_count",
         "res_overflow",
@@ -495,9 +491,6 @@ def _prep_batch(ix: IndexSet, query, q_len, trg, trg_len, n_term, init_k,
         tail8=put(tail8_0),
         chain=chain,
         local_err=jnp.zeros(GL, ed),
-        err_u=jnp.zeros(GL, I32),
-        err_v=jnp.zeros(GL, I32),
-        err_p=jnp.ones(GL, I32),
         gerr_last=jnp.zeros(GL, ed),
         ring=jnp.zeros((G, L, cfg.RING), ed),
         active=used,
@@ -1010,28 +1003,19 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
     leaf_cnt = jnp.sum(alive1, axis=1).astype(I32)
 
     # per-leaf retry eligibility (attempToExtend :406-455): the reference
-    # tests local_err == minimum in double; while the stored value is a
-    # plain gerr (gerr_n < RING) we compare the integer rational
-    # (U + V*e)/P exactly by cross-multiplication (products <= MAXLEN^2
-    # fit i32), falling back to f32 value equality for ring-window values
+    # tests local_err == minimum in double.  Error rates here are canonical
+    # f32 expressions of integer history counters (see red_a/red_b), so
+    # leaves with identical histories compare equal, matching the host.
     is_min = jnp.where(s.alive, s.local_err, big) == min_err[:, None]
-    fmin = jnp.argmax(is_min, axis=1)
-    g1 = lambda a: _osel(a, fmin[:, None], axis=1)
-    mu, mv, mp_ = g1(s.err_u), g1(s.err_v), g1(s.err_p)
-    exact_eq = ((s.err_u * mp_ == mu * s.err_p)
-                & (s.err_v * mp_ == mv * s.err_p))
-    val_eq = jnp.where((s.gerr_n < cfg.RING)[:, None], exact_eq,
-                       s.local_err == min_err[:, None])
-    retry_ok = val_eq & (leaf_cnt[:, None] > 1)
-    # host-float-drift hazard: a DISTINCT leaf ties the min-error leaf
-    # exactly.  The reference tests equality on per-leaf accumulated
-    # doubles, so its outcome on such ties is accumulation-order noise that
-    # f32 cannot reproduce; if the tie actually gates a retry this step,
-    # flag the gap for host replay (res_overflow reuses the existing
-    # "replay on host" routing).  Distinct rationals with denominators
-    # <= MAXLEN cannot drift together in f64, so non-ties are safe.
-    tie_leaf = (retry_ok & s.alive
-                & (jnp.arange(L, dtype=I32)[None, :] != fmin[:, None]))
+    retry_ok = is_min & (leaf_cnt[:, None] > 1)
+    # host-float hazard: when DISTINCT leaves tie at the minimum, the
+    # reference's outcome depends on accumulated-double noise and its f64
+    # error-rate constant, neither reproducible in f32 — if the tie gates
+    # a retry this step, flag the gap for host replay (res_overflow reuses
+    # the existing "replay on host" routing).  Strict f32 inequalities are
+    # safe: rounding preserves order, so a strict f32 order implies the
+    # same exact-rational (and hence f64) order.
+    tie_leaf = retry_ok & (jnp.sum(is_min & s.alive, axis=1) > 1)[:, None]
 
     # ---------- attempt at base threshold (level 0) ------------------------
     # candidate suffix codes (shared by every attempt round — label-derived)
@@ -1493,9 +1477,6 @@ def superstep(wx: WalkIndex, consts: WalkConsts, state: WalkState, cfg: WalkConf
         tail8=new_tail8,
         chain=new_chain,
         local_err=upd(s.local_err, local),
-        err_u=upd(s.err_u, c_U),
-        err_v=upd(s.err_v, c_V),
-        err_p=upd(s.err_p, c_curr_ovl),
         gerr_last=upd(s.gerr_last, gerr),
         ring=new_ring,
         active=s.active,

@@ -113,3 +113,42 @@ class TestAssembleEndToEnd:
         assert cs["contigs"] == 1, cs
         contig = next(iter(g.vertices.values())).seq
         assert contig in (genome, ab.revcomp_str(genome)), (len(contig), len(genome))
+
+
+class TestAsmlongCLI:
+    def test_asmlong_reconstructs_genome(self, rng, tmp_path, monkeypatch, capsys):
+        """asmlong CLI pipeline (StriDe/asmlong.cpp:131-226) on long
+        error-free 'corrected' reads."""
+        genome, reads = make_corpus(rng, 2000, 400, 100)
+        ix, lex_f, lex_r = build_ix(reads)
+        path = str(tmp_path / "g.asqg.gz")
+        from longreadselfcorrect_tpu.graph.asqg import Header, _open
+        with _open(path, "w") as fh:
+            fh.write(Header(min_overlap=50).to_line() + "\n")
+            edges = []
+            ovl.overlap_all(
+                ix, reads, 50, lex_f, lex_r,
+                on_vertex=lambda rid, seq, is_sub: asqg.write_vertex(fh, rid, seq, is_sub),
+                on_edge=edges.append)
+            for o in edges:
+                asqg.write_edge(fh, o)
+
+        from longreadselfcorrect_tpu import cli
+        monkeypatch.chdir(tmp_path)
+        rc = cli.main(["asmlong", path, "-i", "400", "-m", "50",
+                       "-o", str(tmp_path / "out")])
+        assert rc == 0
+        contigs = {}
+        with open(tmp_path / "out-contigs.fa") as fh:
+            cid = None
+            for line in fh:
+                if line.startswith(">"):
+                    cid = line[1:].split()[0]
+                    contigs[cid] = ""
+                else:
+                    contigs[cid] += line.strip()
+        assert len(contigs) == 1, contigs.keys()
+        contig = next(iter(contigs.values()))
+        assert contig in (genome, ab.revcomp_str(genome))
+        assert (tmp_path / "out-graph.asqg.gz").exists()
+        assert (tmp_path / "StriDe-graph.dot").exists()
