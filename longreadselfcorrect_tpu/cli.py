@@ -515,6 +515,65 @@ def cmd_overlap(args) -> int:
     return 0
 
 
+def cmd_oview(args) -> int:
+    """Draw read overlaps from an ASQG file (StriDe/oview.cpp:73-124)."""
+    from .graph import oview
+
+    reads, omap = oview.parse_asqg(args.asqgfile)
+    if args.id:
+        roots = [args.id]
+    else:
+        roots = list(reads)
+    for rid in roots:
+        oview.draw_alignment(sys.stdout, rid, reads, omap,
+                             args.default_padding, args.max_overhang)
+    return 0
+
+
+def cmd_subgraph(args) -> int:
+    """Extract the neighborhood subgraph of a read
+    (StriDe/subgraph.cpp:69-122 + addNeighborsToSubgraph BFS)."""
+    from .graph import asqg
+    from .graph.core import StringGraph
+
+    g = asqg.load(args.asqgfile, 0, True)
+    root = g.vertices.get(args.id)
+    if root is None:
+        print(f"Vertex {args.id} not found in the graph.", file=sys.stderr)
+        return 1
+    keep = {root.id}
+    frontier = [root]
+    for _ in range(args.size):
+        nxt = []
+        for v in frontier:
+            for e in v.edges:
+                w = e.end
+                if w.id not in keep:
+                    keep.add(w.id)
+                    nxt.append(w)
+        frontier = nxt
+    sub = StringGraph()
+    sub.min_overlap = g.min_overlap
+    for vid in keep:
+        sub.add_vertex(vid, g.vertices[vid].seq)
+    seen = set()
+    for vid in keep:
+        for e in g.vertices[vid].edges:
+            if e.end.id in keep:
+                key = (id(e.twin)) if id(e.twin) < id(e) else id(e)
+                if key in seen:
+                    continue
+                seen.add(key)
+                from .graph.core import Overlap
+                sub.add_edges_from_overlap(
+                    Overlap((e.start.id, e.end.id), e.get_match()), 10**9)
+    out = args.out or "subgraph.asqg.gz"
+    asqg.write(out, sub)
+    sub.write_dot(out + ".dot")
+    print(f"subgraph: {len(keep)} vertices -> {out}", file=sys.stderr)
+    return 0
+
+
 def cmd_asmlong(args) -> int:
     """Long-read string-graph assembly (StriDe/asmlong.cpp:116-226): the
     corrected-long-read variant of assemble — containment removal,
@@ -767,6 +826,22 @@ def main(argv=None) -> int:
     p.add_argument("--max-edges", type=int, default=512, dest="max_edges")
     p.add_argument("--max-indel", type=int, default=100, dest="max_indel")
     p.set_defaults(func=cmd_asmlong)
+
+    p = sub.add_parser("oview", help="draw read overlaps from an ASQG file")
+    p.add_argument("asqgfile")
+    p.add_argument("-i", "--id", default=None)
+    p.add_argument("-m", "--max-overhang", type=int, default=20,
+                   dest="max_overhang")
+    p.add_argument("-d", "--default-padding", type=int, default=20,
+                   dest="default_padding")
+    p.set_defaults(func=cmd_oview)
+
+    p = sub.add_parser("subgraph", help="extract a neighborhood subgraph")
+    p.add_argument("id")
+    p.add_argument("asqgfile")
+    p.add_argument("-s", "--size", type=int, default=5)
+    p.add_argument("-o", "--out", default=None)
+    p.set_defaults(func=cmd_subgraph)
 
     p = sub.add_parser("grep", help="locate a pattern's reads via the index")
     p.add_argument("readsfile")

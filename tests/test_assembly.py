@@ -152,3 +152,62 @@ class TestAsmlongCLI:
         assert contig in (genome, ab.revcomp_str(genome))
         assert (tmp_path / "out-graph.asqg.gz").exists()
         assert (tmp_path / "StriDe-graph.dot").exists()
+
+
+class TestOviewSubgraph:
+    def _make_asqg(self, rng, tmp_path):
+        genome, reads = make_corpus(rng, 800, 100, 20)
+        ix, lex_f, lex_r = build_ix(reads)
+        path = str(tmp_path / "g.asqg.gz")
+        from longreadselfcorrect_tpu.graph.asqg import Header, _open
+        with _open(path, "w") as fh:
+            fh.write(Header(min_overlap=40).to_line() + "\n")
+            edges = []
+            ovl.overlap_all(
+                ix, reads, 40, lex_f, lex_r,
+                on_vertex=lambda rid, seq, is_sub: asqg.write_vertex(fh, rid, seq, is_sub),
+                on_edge=edges.append)
+            for o in edges:
+                asqg.write_edge(fh, o)
+        return genome, reads, path
+
+    def test_oview_rows_align_to_root(self, rng, tmp_path):
+        import io
+        from longreadselfcorrect_tpu.graph import oview
+        genome, reads, path = self._make_asqg(rng, tmp_path)
+        rd, omap = oview.parse_asqg(path)
+        assert len(rd) == len(reads)
+        root = "r5"
+        out = io.StringIO()
+        oview.draw_alignment(out, root, rd, omap, 20, 20)
+        lines = [l for l in out.getvalue().splitlines() if "ID:" in l]
+        assert lines[0].endswith(f"ID:{root}")
+        assert len(lines) > 1
+        # error-free corpus: every overlap row reports 0 differences and the
+        # clipped sequences line up with the root row column-for-column
+        rootpad = lines[0].split("\t")[0]
+        rstart = len(rootpad) - len(rootpad.lstrip())
+        for row in lines[1:]:
+            seqf, olen, nd, score = row.split("\t")[:4]
+            assert nd == "0" and float(score) == 0.0
+            body = seqf.strip().strip(".")
+            start = len(seqf) - len(seqf.lstrip())
+            for k, ch in enumerate(body):
+                gpos = start + k - rstart
+                if 0 <= gpos < len(rd[root]):
+                    assert ch == rd[root][gpos]
+
+    def test_subgraph_extracts_neighborhood(self, rng, tmp_path, monkeypatch):
+        genome, reads, path = self._make_asqg(rng, tmp_path)
+        from longreadselfcorrect_tpu import cli
+        monkeypatch.chdir(tmp_path)
+        out = str(tmp_path / "sub.asqg.gz")
+        rc = cli.main(["subgraph", "r5", path, "-s", "1", "-o", out])
+        assert rc == 0
+        g = asqg.load(out, 0)
+        assert "r5" in g.vertices
+        assert 1 < len(g.vertices) < len(reads)
+        # span-1 neighborhood: every vertex overlaps r5 in the full graph
+        full = asqg.load(path, 0)
+        nbrs = {e.end.id for e in full.vertices["r5"].edges} | {"r5"}
+        assert set(g.vertices) <= nbrs
