@@ -413,16 +413,25 @@ def cmd_correct(args) -> int:
     params = KmerCorrectParams(
         kmer_length=args.kmer_size, num_kmer_rounds=args.kmer_rounds, thresholds=th
     )
-    kept = dropped = 0
+    passed = failed = 0
+    fdiscard = open(args.discard, "w") if args.discard else None
     with open(args.out, "w") as f:
         for rec in fasta.read_seqs(args.readsfile):
             seq, qc = kmer_correct(ix, rec.seq, rec.qual, params)
-            if qc:
+            passed += 1 if qc else 0
+            failed += 0 if qc else 1
+            if not seq:
+                continue
+            if qc or fdiscard is None:
+                # without a discard writer the reference keeps failed reads
+                # in the main output (ErrorCorrectProcess.cpp:558-566)
                 fasta.write_fasta(f, rec.id, seq)
-                kept += 1
             else:
-                dropped += 1
-    print(f"corrected/kept: {kept}, failed QC: {dropped}", file=sys.stderr)
+                fasta.write_fasta(fdiscard, rec.id, seq)
+    if fdiscard is not None:
+        fdiscard.close()
+    print(f"Reads passed kmer QC check: {passed}", file=sys.stderr)
+    print(f"Reads failed QC: {failed}", file=sys.stderr)
     return 0
 
 
@@ -756,6 +765,8 @@ def main(argv=None) -> int:
     p.add_argument("-k", "--kmer-size", type=int, default=31, dest="kmer_size")
     p.add_argument("-x", "--kmer-threshold", type=int, default=None, dest="kmer_threshold")
     p.add_argument("-r", "--kmer-rounds", type=int, default=10, dest="kmer_rounds")
+    p.add_argument("--discard", default=None,
+                   help="write QC-failed reads here instead of the main output")
     p.set_defaults(func=cmd_correct)
 
     p = sub.add_parser("fmwalk", help="PE-merge / validate FM-index walks")
