@@ -150,8 +150,13 @@ class BatchedSelfCorrector(SelfCorrector):
         return True
 
     # ------------------------------------------------------------------
-    def _device_seed_tables(self, items):
-        """Per-position (k, pos) freq/valid tables for all reads, on device."""
+    def _seed_table_chunks(self, items):
+        """Per-position (k, pos) freq/valid tables, chunked on device.
+
+        ALL chunks are submitted before any is collected (device dispatch
+        is async), so chunk k+1's scan computes while chunk k's tables
+        cross the tunnel and its reads run the host seed scan.
+        Yields (base, chunk_items, freq [K, n, L], valid, lens [n])."""
         import jax.numpy as jnp
 
         max_k = min(self.probe_params.kmer_len_up_bound + 1, KTAB)
@@ -160,8 +165,7 @@ class BatchedSelfCorrector(SelfCorrector):
         R = 64
         L = max(len(seq) for _, seq in items)
         L = 512 * ((L + 511) // 512)
-        freqs, valids = [], []
-        lens_all = np.zeros(len(items), np.int32)
+        submitted = []
         for base in range(0, len(items), R):
             chunk = items[base : base + R]
             mat = np.full((R, L), ab.PAD_RANK, np.int8)
@@ -170,42 +174,44 @@ class BatchedSelfCorrector(SelfCorrector):
                 e = ab.encode(seq)
                 mat[i, : len(e)] = e
                 lens[i] = len(e)
-            lens_all[base : base + len(chunk)] = lens[: len(chunk)]
-            freq, vbits = scan.kmer_table_wire(
+            handle = scan.kmer_table_wire(
                 self.wx.ix, jnp.asarray(mat), jnp.asarray(lens), max_k
             )
+            submitted.append((base, chunk, handle, lens))
+        for base, chunk, (freq, vbits), lens in submitted:
             # int16/bit-packed on the wire; widen host-side so the seed
             # scan sees the same int32/bool tables as before
-            freqs.append(np.asarray(freq)[:, : len(chunk)].astype(np.int32))
-            valids.append(
-                scan.unpack_valid_bits(np.asarray(vbits), max_k + 1)
-                [:, : len(chunk)]
-            )
-        return (
-            np.concatenate(freqs, axis=1),
-            np.concatenate(valids, axis=1),
-            lens_all,
-        )
+            f = np.asarray(freq)[:, : len(chunk)].astype(np.int32)
+            v = scan.unpack_valid_bits(np.asarray(vbits), max_k + 1)[:, : len(chunk)]
+            yield base, chunk, f, v, lens[: len(chunk)]
+
+    def _device_seed_tables(self, items):
+        """Dense tables for all reads (kept for diagnostics/tests)."""
+        freqs, valids, lens_all = [], [], np.zeros(len(items), np.int32)
+        for base, chunk, f, v, lens in self._seed_table_chunks(items):
+            freqs.append(f)
+            valids.append(v)
+            lens_all[base : base + len(chunk)] = lens
+        return (np.concatenate(freqs, axis=1),
+                np.concatenate(valids, axis=1), lens_all)
 
     def process_batch(self, items: list[tuple[str, str]]) -> list[CorrectionResult]:
         """Correct a batch of (read_id, sequence) reads."""
         import os, sys, time as _time
         _dbg = os.environ.get("LRSC_DEBUG_TIMING")
         _t0 = _time.time()
-        freq_all, valid_all, lens = self._device_seed_tables(items)
-        if _dbg: print(f"[timing] seed tables: {_time.time()-_t0:.1f}s", file=sys.stderr, flush=True)
-        _t0 = _time.time()
         per_read = []
-        for i, (rid, seq) in enumerate(items):
-            ln = int(lens[i])
-            tabs = _LazyTables(freq_all[:, i, :ln], valid_all[:, i, :ln],
-                               self.ix, ab.encode(seq))
-            seeds = seedmod.search_seeds(
-                seq, self.ix, self.probe_params, self.thresh,
-                freq_table=tabs.freq, valid_table=tabs.valid,
-            )
-            per_read.append((rid, seq, seeds))
-        if _dbg: print(f"[timing] seed scan: {_time.time()-_t0:.1f}s", file=sys.stderr, flush=True)
+        for base, chunk, freq_c, valid_c, lens in self._seed_table_chunks(items):
+            for i, (rid, seq) in enumerate(chunk):
+                ln = int(lens[i])
+                tabs = _LazyTables(freq_c[:, i, :ln], valid_c[:, i, :ln],
+                                   self.ix, ab.encode(seq))
+                seeds = seedmod.search_seeds(
+                    seq, self.ix, self.probe_params, self.thresh,
+                    freq_table=tabs.freq, valid_table=tabs.valid,
+                )
+                per_read.append((rid, seq, seeds))
+        if _dbg: print(f"[timing] seed tables+scan: {_time.time()-_t0:.1f}s", file=sys.stderr, flush=True)
         _t0 = _time.time()
 
         # optimistic prefetch: every consecutive seed pair of every read
