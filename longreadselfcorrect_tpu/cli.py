@@ -259,35 +259,64 @@ def cmd_grep(args) -> int:
 
 
 def cmd_pbhc(args) -> int:
+    """PacBio hybrid correction (StriDe/PacBioHybridCorrection.cpp:160-260)."""
     from .core.hybrid import HybridCorrector, HybridParams
     from .io import fasta
 
     ix = _load_host_index(args.prefix)
+    pb_prefix = args.PBprefix or os.path.splitext(args.readsfile)[0]
+    pb_ix = _load_host_index(pb_prefix)
+    read_len = args.readlen
     params = HybridParams(
         kmer_length=args.kmer_size,
-        min_kmer_length=args.min_kmer_size,
-        seed_kmer_threshold=args.seed_threshold,
-        max_overlap=args.max_overlap,
+        min_kmer_length=args.min_seed_length,
+        max_overlap=(args.max_overlap if args.max_overlap >= 0
+                     else int(read_len * 0.9 + 1)),
+        min_overlap=(args.min_overlap if args.min_overlap >= 0
+                     else int(read_len * 0.8 + 1)),
         max_leaves=args.max_leaves,
         fmw_kmer_threshold=args.fmw_threshold,
-        coverage=args.coverage,
+        coverage=args.coverage if args.coverage > 0 else 100,
+        pb_kmer_length=args.PBkmer_length,
+        pb_coverage=args.PBcoverage,
+        pb_search_depth=args.PBsearch_depth,
     )
-    corr = HybridCorrector(ix, params)
-    os.makedirs(args.output, exist_ok=True)
-    n = merged = 0
-    with open(os.path.join(args.output, "correct.fa"), "w") as fc, open(
-        os.path.join(args.output, "discard.fa"), "w"
-    ) as fd:
+    corr = HybridCorrector(ix, pb_ix, params)
+    out = args.outfile or (os.path.splitext(args.readsfile)[0] + ".ec.fa")
+    discard = os.path.splitext(out)[0] + ".discard.fa"
+    totals = dict(reads_len=0, corrected_len=0, seeds=0, walks=0, corrected=0,
+                  seed_dis=0)
+    n = 0
+    t0 = time.time()
+    with open(out, "w") as fc, open(discard, "w") as fd:
         for rec in fasta.read_seqs(args.readsfile):
             res = corr.correct(rec.id, rec.seq)
             n += 1
             if res["merge"]:
-                merged += 1
+                totals["reads_len"] += res["total_reads_len"]
+                totals["corrected_len"] += res["corrected_len"]
+                totals["seeds"] += res["total_seed_num"]
+                totals["walks"] += res["walk_num"]
+                totals["corrected"] += res["corrected_num"]
+                totals["seed_dis"] += res["seed_dis"]
                 for i, s_ in enumerate(res["corrected_strs"]):
-                    fasta.write_fasta(fc, f"{rec.id}_{i}", s_)
+                    fasta.write_fasta(fc, f"{rec.id}_{i}_{len(s_)}", s_)
             else:
                 fasta.write_fasta(fd, rec.id, rec.seq)
-    print(f"reads: {n}, merged: {merged}", file=sys.stderr)
+            if n % 100 == 0:
+                dt = time.time() - t0
+                print(f"Processed {n} sequences in {dt:.1f}s"
+                      f" ({n/dt:.1f} sequences/s)", file=sys.stderr)
+    # summary mirrors PacBioHybridCorrectionPostProcess dtor (:1290-1310)
+    if totals["walks"] > 0 and totals["reads_len"] > 0:
+        print(f"totalReadsLen: {totals['reads_len']}, "
+              f"correctedLen: {totals['corrected_len']}, ratio: "
+              f"{totals['corrected_len']/totals['reads_len']:g}%.")
+        print(f"totalSeedNum: {totals['seeds']}.")
+        print(f"totalWalkNum: {totals['walks']}, "
+              f"correctedNum: {totals['corrected']}, ratio: "
+              f"{totals['corrected']*100/totals['walks']:g}%.")
+        print(f"seedDis: {totals['seed_dis']/totals['walks']:g}.")
     return 0
 
 
@@ -862,14 +891,23 @@ def main(argv=None) -> int:
     p = sub.add_parser("pbhc", help="PacBio hybrid correction (short-read index)")
     p.add_argument("readsfile")
     p.add_argument("-p", "--prefix", required=True, help="short-read index prefix")
-    p.add_argument("-o", "--output", required=True)
-    p.add_argument("-k", "--kmer-size", type=int, default=31, dest="kmer_size")
-    p.add_argument("-s", "--min-kmer-size", type=int, default=21, dest="min_kmer_size")
-    p.add_argument("-x", "--seed-threshold", type=int, default=30, dest="seed_threshold")
-    p.add_argument("-M", "--max-overlap", type=int, default=81, dest="max_overlap")
-    p.add_argument("-l", "--max-leaves", type=int, default=32, dest="max_leaves")
-    p.add_argument("-y", "--fmw-threshold", type=int, default=3, dest="fmw_threshold")
-    p.add_argument("-c", "--coverage", type=int, default=60)
+    p.add_argument("-f", "--PBprefix", default=None, help="PacBio index prefix")
+    p.add_argument("-o", "--outfile", default=None)
+    p.add_argument("-r", "--readlen", type=int, default=100)
+    p.add_argument("-c", "--coverage", type=int, default=-1,
+                   help="short-read coverage")
+    p.add_argument("-C", "--PBcoverage", type=int, default=60)
+    p.add_argument("-k", "--min-seed-length", type=int, default=21,
+                   dest="min_seed_length")
+    p.add_argument("--kmer-size", type=int, default=31, dest="kmer_size")
+    p.add_argument("-x", "--fmw-threshold", type=int, default=3,
+                   dest="fmw_threshold")
+    p.add_argument("-m", "--min-overlap", type=int, default=-1, dest="min_overlap")
+    p.add_argument("-M", "--max-overlap", type=int, default=-1, dest="max_overlap")
+    p.add_argument("-L", "--max-leaves", type=int, default=256, dest="max_leaves")
+    p.add_argument("--PBkmer-length", type=int, default=17, dest="PBkmer_length")
+    p.add_argument("--PBsearch-depth", type=int, default=1000,
+                   dest="PBsearch_depth")
     p.set_defaults(func=cmd_pbhc)
 
     p = sub.add_parser("kmerfreq", help="interactive k-mer frequency probe")

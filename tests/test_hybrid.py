@@ -20,11 +20,23 @@ def sr_index():
     enc = [ab.encode(r) for r in reads]
     fwd, rev = build.build_bwt_pair(enc)
     ix = HostIndexSet(HostFM(fwd.symbols, fwd.num_strings), HostFM(rev.symbols, rev.num_strings))
-    return genome, ix, rng
+    # a small PacBio index (noisy 15%-error long reads over the same genome)
+    pb_reads = []
+    for i in range(150):  # ~5x of 1kb
+        p = int(rng.integers(0, len(genome) - 1000))
+        r = list(genome[p : p + 1000])
+        for j in range(len(r)):
+            if rng.random() < 0.15:
+                r[j] = "ACGT"[int(rng.integers(0, 4))]
+        pb_reads.append("".join(r))
+    enc = [ab.encode(r) for r in pb_reads]
+    fwd, rev = build.build_bwt_pair(enc)
+    pb_ix = HostIndexSet(HostFM(fwd.symbols, fwd.num_strings), HostFM(rev.symbols, rev.num_strings))
+    return genome, ix, pb_ix, rng
 
 
 def test_hybrid_corrects_noisy_read(sr_index):
-    genome, ix, _ = sr_index
+    genome, ix, pb_ix, _ = sr_index
     rng = np.random.default_rng(9)
     truth = genome[10000:11200]
     noisy = []
@@ -41,7 +53,7 @@ def test_hybrid_corrects_noisy_read(sr_index):
             noisy.append(ch)
     noisy = "".join(noisy)
 
-    corr = HybridCorrector(ix, HybridParams(coverage=60))
+    corr = HybridCorrector(ix, pb_ix, HybridParams(coverage=60))
     res = corr.correct("pb1", noisy)
     assert res["merge"]
     assert res["total_seed_num"] >= 2
@@ -58,9 +70,9 @@ def test_hybrid_corrects_noisy_read(sr_index):
 
 
 def test_hybrid_junk_no_seeds(sr_index):
-    genome, ix, _ = sr_index
+    genome, ix, pb_ix, _ = sr_index
     rng = np.random.default_rng(10)
     junk = "".join(rng.choice(list("ACGT"), size=600))
-    corr = HybridCorrector(ix, HybridParams(coverage=60))
+    corr = HybridCorrector(ix, pb_ix, HybridParams(coverage=60))
     res = corr.correct("junk", junk)
     assert not res["merge"]
