@@ -465,38 +465,82 @@ def cmd_correct(args) -> int:
 
 
 def cmd_fmwalk(args) -> int:
-    from .core.pe_merge import merge_pair, validate_read
+    from .core import alphabet as ab
+    from .core.pe_merge import (kmerize_read, merge_and_kmerize, merge_pair,
+                                validate_read)
+    from .core.qc import median_kmer_frequency
     from .io import fasta
 
     ix = _load_host_index(args.prefix)
     recs = list(fasta.read_seqs(args.readsfile))
-    n_ok = n_fail = 0
+    n_merge = n_kmerize = n_fail = 0
+    threshold = args.kmer_threshold
+    fdiscard = open(args.discard, "w") if args.discard else None
+
+    def write_kmerized(fd, rid, main, others):
+        if main:
+            fasta.write_fasta(fd, rid, main)
+        for i, p in enumerate(others):
+            fasta.write_fasta(fd, f"{rid}:{i}", p)
+
     with open(args.out, "w") as f:
         if args.algorithm == "validate":
             for rec in recs:
                 code, seq = validate_read(ix, rec.seq, args.min_overlap,
-                                          sa_threshold=args.kmer_threshold)
+                                          sa_threshold=threshold)
                 if code == 1:
                     fasta.write_fasta(f, rec.id, seq)
-                    n_ok += 1
+                    n_merge += 1
                 else:
                     n_fail += 1
+        elif args.algorithm == "kmerize":
+            for rec in recs:
+                ok, main, others = kmerize_read(ix, rec.seq, args.kmer_size,
+                                                threshold)
+                if ok:
+                    n_kmerize += 1
+                    write_kmerized(fdiscard or f, rec.id, main, others)
+                else:
+                    n_fail += 1
+        elif args.algorithm == "hybrid":
+            # MergeAndKmerize over consecutive pairs (FMW_HYBRID)
+            repeat_freq = median_kmer_frequency(ix, args.min_overlap) * 1.3
+            for i in range(0, len(recs) - 1, 2):
+                r1, r2 = recs[i], recs[i + 1]
+                res = merge_and_kmerize(
+                    ix, r1.seq, r2.seq, args.kmer_size, threshold,
+                    args.min_overlap,
+                    args.max_overlap if args.max_overlap > 0 else
+                    int((len(r1.seq) + len(r2.seq)) / 2 * 0.95),
+                    args.max_insert, args.max_leaves, repeat_freq)
+                if res["merge"]:
+                    n_merge += 1
+                    fasta.write_fasta(f, r1.id.split("/")[0], res["seq"])
+                else:
+                    n_kmerize += int(res["kmerize"]) + int(res["kmerize2"])
+                    n_fail += int(not res["kmerize"]) + int(not res["kmerize2"])
+                    write_kmerized(fdiscard or f, r1.id, res["main1"],
+                                   res["others1"])
+                    write_kmerized(fdiscard or f, r2.id, res["main2"],
+                                   res["others2"])
         else:  # merge: consecutive pairs, 2nd read reverse-complemented
-            from .core import alphabet as ab
-
             for i in range(0, len(recs) - 1, 2):
                 r1, r2 = recs[i], recs[i + 1]
                 code, seq = merge_pair(
                     ix, r1.seq, ab.revcomp_str(r2.seq), args.min_overlap,
                     args.max_overlap, args.max_insert,
-                    sa_threshold=args.kmer_threshold,
+                    sa_threshold=threshold,
                 )
                 if code == 1:
                     fasta.write_fasta(f, r1.id + ":merged", seq)
-                    n_ok += 1
+                    n_merge += 1
                 else:
                     n_fail += 1
-    print(f"walk success: {n_ok}, failed: {n_fail}", file=sys.stderr)
+    if fdiscard is not None:
+        fdiscard.close()
+    print(f"Reads are kmerized: {n_kmerize}", file=sys.stderr)
+    print(f"Reads are merged : {n_merge}", file=sys.stderr)
+    print(f"Reads failed to kmerize or merge: {n_fail}", file=sys.stderr)
     return 0
 
 
@@ -802,11 +846,17 @@ def main(argv=None) -> int:
     p.add_argument("readsfile")
     p.add_argument("-p", "--prefix", required=True)
     p.add_argument("-o", "--out", default="fmwalk.fa")
-    p.add_argument("-a", "--algorithm", choices=("merge", "validate"), default="merge")
+    p.add_argument("-a", "--algorithm",
+                   choices=("merge", "validate", "kmerize", "hybrid"),
+                   default="hybrid")
     p.add_argument("-m", "--min-overlap", type=int, default=31, dest="min_overlap")
-    p.add_argument("-M", "--max-overlap", type=int, default=65, dest="max_overlap")
+    p.add_argument("-M", "--max-overlap", type=int, default=-1, dest="max_overlap")
     p.add_argument("-L", "--max-insert", type=int, default=500, dest="max_insert")
+    p.add_argument("-l", "--max-leaves", type=int, default=32, dest="max_leaves")
+    p.add_argument("-k", "--kmer-size", type=int, default=31, dest="kmer_size")
     p.add_argument("-x", "--kmer-threshold", type=int, default=3, dest="kmer_threshold")
+    p.add_argument("--discard", default="kmerized.fa",
+                   help="kmerized-piece output (empty string: main output)")
     p.set_defaults(func=cmd_fmwalk)
 
     p = sub.add_parser("filter", help="QC + duplicate removal")

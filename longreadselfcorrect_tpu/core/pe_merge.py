@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from . import alphabet as ab
 
 RANK_CHARS = "$ACGT"
@@ -240,3 +242,216 @@ def validate_read(ix, seq: str, min_overlap: int, max_leaves: int = 256,
         second_read="", sa_threshold=sa_threshold, from_prefix=True,
     )
     return tree.validate()
+
+
+# ---------------------------------------------------------------------------
+# kmerize / hybrid (MergeAndKmerize) — FMIndexWalkProcess.cpp:29-150,229-267
+# ---------------------------------------------------------------------------
+
+def _count_both(ix, word: str) -> int:
+    """countSequenceOccurrences: both-strand count."""
+    codes = ab.encode(word)
+    lo1, hi1 = ix.bwt.find_interval(codes)
+    lo2, hi2 = ix.bwt.find_interval(ab.reverse_complement(codes))
+    return max(int(hi1) - int(lo1) + 1, 0) + max(int(hi2) - int(lo2) + 1, 0)
+
+
+def _count_single(ix, codes: np.ndarray) -> int:
+    """countSequenceOccurrencesSingleStrand."""
+    lo, hi = ix.bwt.find_interval(codes)
+    return max(int(hi) - int(lo) + 1, 0)
+
+
+def num_next_kmer(ix, kmer: str, start_dir: bool, threshold: int = 1) -> int:
+    """numNextKmer (FMIndexWalkProcess.cpp:855-870): how many of the four
+    shifted kmers have both-strand count >= threshold."""
+    n = 0
+    for b in "ATCG":
+        nxt = (b + kmer[:-1]) if start_dir else (kmer[1:] + b)
+        if _count_both(ix, nxt) >= threshold:
+            n += 1
+    return n
+
+
+def trim_read(ix, seq: str, k: int) -> str:
+    """trimRead (:825-853): trim dead-end heads/tails to the first >=2-way
+    branching kmer."""
+    head, tail = 0, len(seq) - k
+    if tail < 0:
+        return seq
+    if num_next_kmer(ix, seq[head : head + k], True, 1) == 0:
+        head += 1
+        while head <= tail:
+            if num_next_kmer(ix, seq[head : head + k], True, 1) >= 2:
+                break
+            head += 1
+    if head <= tail and num_next_kmer(ix, seq[tail : tail + k], False, 1) == 0:
+        tail -= 1
+        while tail >= head:
+            if num_next_kmer(ix, seq[tail : tail + k], False, 1) >= 2:
+                break
+            tail -= 1
+    if head > tail:
+        return ""
+    return seq[head : tail + k]
+
+
+def kmer_context(ix, seq: str, k: int):
+    """KmerContext (FMIndexWalkProcess.h:61-100): per-window single-strand
+    frequencies, vectorised."""
+    n = len(seq) - k + 1
+    if n <= 0:
+        return None
+    enc = ab.encode(seq)
+    win = np.lib.stride_tricks.sliding_window_view(enc, k)[:n]
+    lo, hi = ix.bwt.find_interval(win)
+    same = np.maximum(hi - lo + 1, 0)
+    rc = ab.complement(win)[:, ::-1]
+    lo, hi = ix.bwt.find_interval(rc)
+    revc = np.maximum(hi - lo + 1, 0)
+    return same.astype(np.int64), revc.astype(np.int64)
+
+
+def _is_simple(ix, lkmer: str, rkmer: str) -> bool:
+    """isSimple (:851-860 header): both boundary kmers have exactly one
+    continuation."""
+    return (num_next_kmer(ix, lkmer, False, 1) == 1
+            and num_next_kmer(ix, rkmer, True, 1) == 1)
+
+
+def split_read(ix, seq: str, k: int, threshold: int):
+    """splitRead (:555-608) -> (main_idx, pieces)."""
+    ctx = kmer_context(ix, seq, k)
+    if ctx is None:
+        return -1, []
+    same, revc = ctx
+    nk = len(same)
+    qualified = (same >= threshold).astype(int) + (revc >= threshold).astype(int)
+    intervals = []
+    start = 0
+    for p in range(1, nk):
+        if qualified[p - 1] == 2 and qualified[p] == 2:
+            continue
+        if not _is_simple(ix, seq[p - 1 : p - 1 + k], seq[p : p + k]):
+            intervals.append((start, p - 1))
+            start = p
+    intervals.append((start, nk - 1))
+    max_num = 0
+    main_idx = -1
+    pieces = []
+    for i, (s, e) in enumerate(intervals):
+        if np.any(qualified[s : e + 1] == 2):
+            num = e - s
+            if max_num < num:
+                max_num = num
+                main_idx = i
+        pieces.append(seq[s : e + k])
+    return main_idx, pieces
+
+
+def _is_low_complexity_fmw(seq: str) -> bool:
+    """FMIndexWalkProcess::isLowComplexity (:418-445)."""
+    n = len(seq)
+    return any(seq.count(c) / n >= 0.9 for c in "ATCG")
+
+
+def _max_con(s: str) -> int:
+    """maxCon (:448-478): longest homopolymer run (N skipped)."""
+    best = c = 1
+    for i in range(1, len(s)):
+        if s[i] == "N":
+            continue
+        if s[i] != s[i - 1]:
+            best = max(best, c)
+            c = 1
+        else:
+            c += 1
+            best = max(best, c)
+    return best
+
+
+def kmerize_read(ix, seq: str, k: int, threshold: int):
+    """KmerizeReads (:229-267) -> (kmerize, main_piece, other_pieces)."""
+    if len(seq) < k:
+        return False, "", []
+    main_idx, pieces = split_read(ix, seq, k, threshold)
+    if not pieces:
+        return False, "", []
+    main = ""
+    others = []
+    for i, p in enumerate(pieces):
+        if i == main_idx:
+            main = p
+        else:
+            others.append(p)
+    return True, main, others
+
+
+def merge_and_kmerize(ix, seq1: str, seq2: str, k: int, threshold: int,
+                      min_overlap: int, max_overlap: int, max_insert: int,
+                      max_leaves: int, repeat_freq: float):
+    """MergeAndKmerize (:29-150) — the FMW_HYBRID per-pair process.
+
+    seq2 must already be the second read as stored (NOT reverse-complemented;
+    the walk itself reverse-complements the target).
+    Returns dict(merge, seq, kmerize, main1, others1, kmerize2, main2,
+    others2)."""
+    out = dict(merge=False, seq="", kmerize=False, main1="", others1=[],
+               kmerize2=False, main2="", others2=[])
+    t1 = trim_read(ix, seq1, k)
+    t2 = trim_read(ix, seq2, k)
+    if (min(len(t1), len(t2)) >= k
+            and (len(t1) <= min_overlap or len(t2) <= min_overlap)):
+        out["kmerize"] = out["kmerize2"] = True
+        out["main1"], out["main2"] = t1, t2
+        return out
+    if len(t1) < k or len(t2) < k:
+        return out
+
+    first = t1[:min_overlap]
+    second = t2[:min_overlap]
+    suitable = (len(first) >= min_overlap and len(second) >= min_overlap
+                and _count_both(ix, first) < repeat_freq
+                and _count_both(ix, second) < repeat_freq)
+    if suitable:
+        tree1 = SAIntervalTree(ix, first, min_overlap, max_overlap,
+                               max_insert, max_leaves,
+                               second_read=ab.revcomp_str(second))
+        code1, m1 = tree1.merge_two_reads()
+        tree2 = SAIntervalTree(ix, second, min_overlap, max_overlap,
+                               max_insert, max_leaves,
+                               second_read=ab.revcomp_str(first))
+        code2, m2 = tree2.merge_two_reads()
+        if m1 and not m2 and tree1.max_used_leaves <= 1 and tree2.max_used_leaves <= 1:
+            out["merge"] = True
+            out["seq"] = m1
+            return out
+        if not m1 and m2 and tree2.max_used_leaves <= 1 and tree1.max_used_leaves <= 1:
+            out["merge"] = True
+            out["seq"] = m2
+            return out
+        if m1 and m2 and m1 == ab.revcomp_str(m2):
+            out["merge"] = True
+            out["seq"] = m1 if tree1.max_kmer_coverage > tree2.max_kmer_coverage else m2
+            return out
+
+    for tag, t in (("", t1), ("2", t2)):
+        if len(t) < k:
+            continue
+        main_idx, pieces = split_read(ix, t, k, threshold)
+        if pieces:
+            out["kmerize" + tag] = True
+        kept_main = ""
+        others = []
+        for i, p in enumerate(pieces):
+            if _is_low_complexity_fmw(p):
+                continue
+            if _max_con(p) * 3 > len(p):
+                continue
+            if i == main_idx:
+                kept_main = p
+            else:
+                others.append(p)
+        out["main1" if not tag else "main2"] = kept_main
+        out["others1" if not tag else "others2"] = others
+    return out

@@ -109,3 +109,34 @@ def filter_reads(ix, records, params: QCParams):
         else:
             passed = dup_passed
         yield rec, passed
+
+
+def median_kmer_frequency(ix, k: int, sample: int = 100000) -> int:
+    """Median both-strand k-mer frequency of the corpus.
+
+    The reference samples 100k random k-mers from the reverse BWT
+    (BWTAlgorithms::sampleKmerCounts, BWTAlgorithms.cpp) and takes the
+    distribution's q2; this deterministic variant extracts k-mers from
+    evenly spaced BWT rows instead of rand() rows, so the repeat cutoff it
+    feeds (median*1.3, FMIndexWalkProcess.cpp:403) is reproducible."""
+    import numpy as np
+
+    from . import alphabet as ab
+    from .msa import _lf_extract
+
+    fm = ix.rbwt
+    n_rows = fm.n
+    n = min(sample, max(n_rows // 4, 1))
+    roots = np.linspace(0, n_rows - 1, n).astype(np.int64)
+    mat, lens = _lf_extract(fm, roots, k)
+    full = lens >= k
+    if not np.any(full):
+        return 1
+    kmers = mat[full][:, :k].astype(np.int64)
+    # counts in the rbwt text + its reverse complement == both strands
+    lo, hi = fm.find_interval(kmers[:, ::-1])
+    c1 = np.maximum(hi - lo + 1, 0)
+    lo, hi = ix.bwt.find_interval(ab.complement(kmers)[:, ::-1])
+    c2 = np.maximum(hi - lo + 1, 0)
+    counts = np.sort(c1 + c2)
+    return int(counts[len(counts) // 2])

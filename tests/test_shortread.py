@@ -104,3 +104,60 @@ class TestPEMerge:
         bad = genome[6000:6090] + ab.revcomp_str(genome[9000:9110])  # chimera
         code, out = validate_read(ix, bad, min_overlap=31, sa_threshold=3)
         assert code != 1 or out != bad
+
+
+class TestKmerizeHybrid:
+    def _ix(self, rng):
+        from longreadselfcorrect_tpu.index import build
+        from longreadselfcorrect_tpu.index.host import HostFM, HostIndexSet
+        genome = "".join(rng.choice(list("ACGT"), size=5000))
+        reads = []
+        for i in range(1500):  # 30x of 100bp
+            p = int(rng.integers(0, 5000 - 100))
+            r = genome[p : p + 100]
+            reads.append(ab.revcomp_str(r) if i % 2 else r)
+        enc = [ab.encode(r) for r in reads]
+        fwd, rev = build.build_bwt_pair(enc)
+        return genome, HostIndexSet(HostFM(fwd.symbols, fwd.num_strings),
+                                    HostFM(rev.symbols, rev.num_strings))
+
+    def test_split_read_clean_read_stays_whole(self):
+        import numpy as np
+        from longreadselfcorrect_tpu.core.pe_merge import split_read
+        rng = np.random.default_rng(77)
+        genome, ix = self._ix(rng)
+        clean = genome[1000:1100]
+        main_idx, pieces = split_read(ix, clean, 31, 2)
+        assert len(pieces) == 1 and main_idx == 0
+        assert pieces[0] == clean
+
+    def test_split_read_error_read_splits(self):
+        import numpy as np
+        from longreadselfcorrect_tpu.core.pe_merge import kmerize_read
+        rng = np.random.default_rng(78)
+        genome, ix = self._ix(rng)
+        bad = list(genome[2000:2100])
+        bad[50] = "ACGT"[("ACGT".index(bad[50]) + 1) % 4]
+        ok, main, others = kmerize_read(ix, "".join(bad), 31, 2)
+        assert ok
+        pieces = ([main] if main else []) + others
+        assert len(pieces) >= 2
+        # every piece must be a genomic substring after the error split
+        for p in pieces:
+            ing = p in genome or ab.revcomp_str(p) in genome
+            has_err = genome[2000:2100][:len(p)] != p
+            assert ing or has_err
+
+    def test_merge_and_kmerize_merges_clean_pair(self):
+        import numpy as np
+        from longreadselfcorrect_tpu.core.pe_merge import merge_and_kmerize
+        rng = np.random.default_rng(79)
+        genome, ix = self._ix(rng)
+        frag = genome[3000:3300]  # insert 300
+        r1 = frag[:100]
+        r2 = ab.revcomp_str(frag[-100:])
+        res = merge_and_kmerize(ix, r1, r2, 31, 2, 31, 95, 500, 32,
+                                repeat_freq=1000)
+        assert res["merge"], res
+        got = res["seq"]
+        assert got in (frag, ab.revcomp_str(frag)) or frag in got
