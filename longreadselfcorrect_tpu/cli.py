@@ -558,12 +558,15 @@ def cmd_filter(args) -> int:
     kept = dropped = 0
     discard = args.discard or (args.out + ".discard.fa")
     with open(args.out, "w") as f, open(discard, "w") as fd:
-        for rec, passed in filter_reads(ix, fasta.read_seqs(args.readsfile), params):
+        for i, (rec, passed) in enumerate(
+                filter_reads(ix, fasta.read_seqs(args.readsfile), params)):
             if passed:
                 fasta.write_fasta(f, rec.id, rec.seq)
                 kept += 1
             else:
-                fasta.write_fasta(fd, rec.id, rec.seq)
+                # the reference annotates discards with their sequence rank
+                # (QCProcess dup-removal metadata)
+                fasta.write_fasta(fd, f"{rec.id},seqrank={i}", rec.seq)
                 dropped += 1
     print(f"kept: {kept}, filtered: {dropped}", file=sys.stderr)
     return 0
