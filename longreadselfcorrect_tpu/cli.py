@@ -592,6 +592,7 @@ def cmd_overlap(args) -> int:
             ix, records, args.min_overlap, lex_fwd, lex_rev,
             on_vertex=lambda rid, seq, is_sub: asqg.write_vertex(fh, rid, seq, is_sub),
             on_edge=edges.append,
+            irreducible=args.exact,
         )
         for o in edges:
             asqg.write_edge(fh, o)
@@ -886,6 +887,10 @@ def main(argv=None) -> int:
     p.add_argument("-p", "--prefix", required=True)
     p.add_argument("-o", "--out", default=None)
     p.add_argument("-m", "--min-overlap", type=int, default=31, dest="min_overlap")
+    p.add_argument("--exact", action="store_true",
+                   help="emit only irreducible overlaps (reference default)")
+    p.add_argument("-x", "--exhaustive", action="store_true",
+                   help="emit all overlaps including transitive edges")
     p.set_defaults(func=cmd_overlap)
 
     p = sub.add_parser("assemble", help="string-graph contig assembly")

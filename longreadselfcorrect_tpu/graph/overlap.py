@@ -385,15 +385,17 @@ def block_to_overlaps(block: OverlapBlock, query_id: str, query_len: int,
 
 
 def overlap_all(ix, records: list, min_overlap: int, lex_fwd, lex_rev,
-                on_vertex=None, on_edge=None) -> dict:
+                on_vertex=None, on_edge=None, irreducible: bool = False) -> dict:
     """Full overlap pass over (id, seq) records; calls back with VT/ED
-    payloads in the reference's order (vertices as processed, edges after)."""
+    payloads in the reference's order (vertices as processed, edges after).
+    irreducible=True emits only irreducible overlaps (the reference's
+    default exact mode, --exact)."""
     read_ids = [rid for rid, _ in records]
     read_lens = [len(s) for _, s in records]
     stats = {"substrings": 0, "edges": 0}
     edges = []
     for rid, seq in records:
-        blocks, contains, is_sub = overlap_read_exact(ix, seq, min_overlap)
+        blocks, contains, is_sub = overlap_read_exact(ix, seq, min_overlap, irreducible)
         if on_vertex is not None:
             on_vertex(rid, seq, is_sub)
         if is_sub:
