@@ -195,23 +195,88 @@ class BatchedSelfCorrector(SelfCorrector):
         return (np.concatenate(freqs, axis=1),
                 np.concatenate(valids, axis=1), lens_all)
 
+    # ------------------------------------------------------------------
+    def _device_seed_scan(self, items):
+        """The ENTIRE seed phase on device (ops.seedscan): tables never
+        leave the chip; only per-seed records do.  Yields
+        (base, chunk, seeds_per_read)."""
+        import jax.numpy as jnp
+
+        from ..ops import seedscan
+
+        pp = self.probe_params
+        max_k = pp.kmer_len_up_bound + 1
+        thr_dev = jnp.asarray(self.thresh.table[:, : max_k + 1])
+        rep_thr = jnp.float32(self.thresh.get(2, pp.scan_kmer_len))
+        R = 64
+        L = max(len(seq) for _, seq in items)
+        L = 512 * ((L + 511) // 512)
+        submitted = []
+        for base in range(0, len(items), R):
+            chunk = items[base : base + R]
+            mat = np.full((R, L), ab.PAD_RANK, np.int8)
+            lens = np.zeros(R, np.int32)
+            for i, (_, seq) in enumerate(chunk):
+                e = ab.encode(seq)
+                mat[i, : len(e)] = e
+                lens[i] = len(e)
+            dmat = jnp.asarray(mat)
+            dlens = jnp.asarray(lens)
+            freq, valid = scan.kmer_table_full(self.wx.ix, dmat, dlens, max_k)
+            onehot = (dmat[:, :, None] == jnp.arange(1, 5, dtype=jnp.int8))
+            prefix = jnp.pad(
+                jnp.cumsum(onehot, axis=1, dtype=jnp.int32),
+                ((0, 0), (1, 0), (0, 0)))
+            if pp.manual:
+                attr = jnp.full((R, L), pp.mode, jnp.int32)
+            else:
+                attr = seedscan._attributes(
+                    freq[pp.scan_kmer_len], prefix, dlens, rep_thr,
+                    pp.scan_kmer_len)
+            n, starts, sizes, freqs, reps, statics = seedscan._scan_automaton(
+                freq, valid, attr, prefix, dlens, thr_dev,
+                pp.start_kmer_len, pp.kmer_len_up_bound, tuple(pp.offset),
+                float(pp.hh_ratio))
+            sk, ek, oor = seedscan._estimate_best(
+                freq, n, starts, sizes, statics, pp.pb_coverage)
+            keep = seedscan._remove_hitchhiking(
+                n, starts, sizes, freqs, reps, pp.radius, float(pp.hh_ratio))
+            submitted.append((base, chunk,
+                              (n, starts, sizes, freqs, reps, statics,
+                               sk, ek, oor, keep)))
+        for base, chunk, devs in submitted:
+            (n, starts, sizes, freqs, reps, statics, sk, ek, oor,
+             keep) = (np.asarray(x) for x in devs)
+            out = []
+            for i, (rid, seq) in enumerate(chunk):
+                seeds = []
+                for j in range(int(n[i])):
+                    st, sz = int(starts[i, j]), int(sizes[i, j])
+                    s = Seed.make(seq[st : st + sz], st, int(freqs[i, j]),
+                                  bool(reps[i, j]), int(statics[i, j]),
+                                  pp.pb_coverage)
+                    if oor[i, j]:
+                        # best-k walked past the device table: host redo
+                        s.estimate_best_kmer_size(self.ix)
+                    else:
+                        s.start_best_kmer_size = int(sk[i, j])
+                        s.end_best_kmer_size = int(ek[i, j])
+                    s.is_hitchhiked = not bool(keep[i, j])
+                    if not s.is_hitchhiked:
+                        seeds.append(s)
+                out.append(seeds)
+            yield base, chunk, out
+
     def process_batch(self, items: list[tuple[str, str]]) -> list[CorrectionResult]:
         """Correct a batch of (read_id, sequence) reads."""
         import os, sys, time as _time
         _dbg = os.environ.get("LRSC_DEBUG_TIMING")
         _t0 = _time.time()
         per_read = []
-        for base, chunk, freq_c, valid_c, lens in self._seed_table_chunks(items):
-            for i, (rid, seq) in enumerate(chunk):
-                ln = int(lens[i])
-                tabs = _LazyTables(freq_c[:, i, :ln], valid_c[:, i, :ln],
-                                   self.ix, ab.encode(seq))
-                seeds = seedmod.search_seeds(
-                    seq, self.ix, self.probe_params, self.thresh,
-                    freq_table=tabs.freq, valid_table=tabs.valid,
-                )
+        for base, chunk, seeds_lists in self._device_seed_scan(items):
+            for (rid, seq), seeds in zip(chunk, seeds_lists):
                 per_read.append((rid, seq, seeds))
-        if _dbg: print(f"[timing] seed tables+scan: {_time.time()-_t0:.1f}s", file=sys.stderr, flush=True)
+        if _dbg: print(f"[timing] seed scan (device): {_time.time()-_t0:.1f}s", file=sys.stderr, flush=True)
         _t0 = _time.time()
 
         # optimistic prefetch: every consecutive seed pair of every read

@@ -68,6 +68,43 @@ def kmer_freq_single(ix: IndexSet, reads: jax.Array, lengths: jax.Array, k: int)
     return kmer_freq_scan(ix, reads, lengths, (k,))[0]
 
 
+def _fused_rows(fm):
+    """Symbols + checkpoint counts in ONE gatherable row: [nb, block+20] i8.
+
+    The scan's extend step needs a block row AND its ckpt row per query —
+    gathering them separately doubles the random-row traffic that
+    dominates the table build.  The 5 int32 ckpt counts ride as 20 extra
+    int8 lanes, bitcast back after the gather."""
+    ck8 = jax.lax.bitcast_convert_type(fm.ckpt, jnp.int8)
+    return jnp.concatenate([fm.blocks, ck8.reshape(fm.ckpt.shape[0], -1)],
+                           axis=1)
+
+
+def _occ_fusedrow(rows, block, sym, idx):
+    """occ(sym, BWT[0..idx]) with one fused-row gather per query."""
+    p = (idx + 1).astype(I32)
+    q = p // block
+    r = p - q * block
+    g = rows[q]                                     # [..., block+20]
+    row = g[..., :block]
+    ck = jax.lax.bitcast_convert_type(
+        g[..., block : block + 20].reshape(*g.shape[:-1], 5, 4), jnp.int32)
+    lane = jax.lax.broadcasted_iota(I32, row.shape, row.ndim - 1)
+    hits = (row == sym[..., None].astype(jnp.int8)) & (lane < r[..., None])
+    # one-hot ckpt select: a take_along_axis here is a per-query hw gather
+    sym32 = sym.astype(I32)
+    base = jnp.zeros(p.shape, I32)
+    for b in range(5):
+        base = base + jnp.where(sym32 == b, ck[..., b], 0)
+    return base + hits.sum(axis=-1, dtype=I32)
+
+
+def _update_fusedrow(rows, block, C, lo, hi, sym):
+    pb = C[sym]
+    return (pb + _occ_fusedrow(rows, block, sym, lo - 1),
+            pb + _occ_fusedrow(rows, block, sym, hi) - 1)
+
+
 @partial(jax.jit, static_argnames=("max_k",))
 def kmer_table_full(ix: IndexSet, reads: jax.Array, lengths: jax.Array, max_k: int):
     """freq + validity for EVERY k in 1..max_k at every position.
@@ -79,6 +116,8 @@ def kmer_table_full(ix: IndexSet, reads: jax.Array, lengths: jax.Array, max_k: i
     R, L = reads.shape
     sym0 = reads.astype(I32)
     state = rank.init_bi(ix, jnp.clip(sym0, 0, 4))
+    rows_f = _fused_rows(ix.rbwt)
+    rows_r = _fused_rows(ix.bwt)
     pos = jnp.arange(L, dtype=I32)[None, :]
     freqs = [jnp.full((R, L), -1, I32)]
     valids = [jnp.zeros((R, L), bool)]
@@ -92,7 +131,11 @@ def kmer_table_full(ix: IndexSet, reads: jax.Array, lengths: jax.Array, max_k: i
             break
         nxt = jnp.pad(sym0[:, j:], ((0, 0), (0, j)), constant_values=ab.PAD_RANK)
         live = nxt < 5
-        new_state = rank.extend_bi(ix, state, jnp.clip(nxt, 0, 4))
+        s = jnp.clip(nxt, 0, 4)
+        nf = _update_fusedrow(rows_f, ix.rbwt.block, ix.rbwt.C, f_lo, f_hi, s)
+        nr = _update_fusedrow(rows_r, ix.bwt.block, ix.bwt.C, r_lo, r_hi,
+                              rank.comp(s))
+        new_state = (nf[0], nf[1], nr[0], nr[1])
         state = tuple(jnp.where(live, n, o) for n, o in zip(new_state, state))
     return jnp.stack(freqs), jnp.stack(valids)
 
