@@ -164,7 +164,7 @@ class BatchedSelfCorrector(SelfCorrector):
         # compiles once per L bucket regardless of batch size
         R = 64
         L = max(len(seq) for _, seq in items)
-        L = 512 * ((L + 511) // 512)
+        L = 256 * ((L + 255) // 256)
         submitted = []
         for base in range(0, len(items), R):
             chunk = items[base : base + R]
@@ -210,7 +210,7 @@ class BatchedSelfCorrector(SelfCorrector):
         rep_thr = jnp.float32(self.thresh.get(2, pp.scan_kmer_len))
         R = 64
         L = max(len(seq) for _, seq in items)
-        L = 512 * ((L + 511) // 512)
+        L = 256 * ((L + 255) // 256)
         submitted = []
         for base in range(0, len(items), R):
             chunk = items[base : base + R]
@@ -311,6 +311,29 @@ class BatchedSelfCorrector(SelfCorrector):
         for round_i in range(6):
             self._misses = [] if round_i < 5 else None  # final round: host
             still = []
+            # miss tasks are SUBMITTED to the device as soon as enough
+            # accumulate, so the next round's walks compute while this
+            # round's host replay continues over the remaining reads
+            seen = set()
+            miss_tasks, miss_keys = [], []
+            submitted = []
+
+            def drain():
+                while self._misses:
+                    t, k = self._misses.pop()
+                    if k not in seen:
+                        seen.add(k)
+                        miss_tasks.append(t)
+                        miss_keys.append(k)
+
+            def flush(force=False):
+                drain()
+                while miss_tasks and (force or len(miss_tasks) >= 256):
+                    take = miss_tasks[:512]
+                    tkeys = miss_keys[:512]
+                    del miss_tasks[:512], miss_keys[:512]
+                    submitted.extend(self._submit_tasks(take, tkeys))
+
             for ri in pending:
                 rid, seq, seeds = per_read[ri]
                 result = CorrectionResult(read_id=rid)
@@ -319,6 +342,8 @@ class BatchedSelfCorrector(SelfCorrector):
                 pieces = self._init_correct(seq, seeds, result)
                 if self._read_incomplete:
                     still.append(ri)  # retried after the next device round
+                    if self._misses is not None:
+                        flush()
                     continue
                 result.merge = bool(pieces)
                 result.total_reads_len = len(seq)
@@ -326,22 +351,16 @@ class BatchedSelfCorrector(SelfCorrector):
                 out[ri] = result
             if not still:
                 break
-            miss_tasks, miss_keys = [], []
-            seen = set()
-            for t, k in self._misses:
-                if k not in seen:
-                    seen.add(k)
-                    miss_tasks.append(t)
-                    miss_keys.append(k)
-            # a warm device round (~0.2s) now beats even a couple of host
-            # walks (~0.3s each) — route every miss round to the device
-            self._run_tasks(miss_tasks, miss_keys)
+            flush(force=True)
+            self._collect_tasks(submitted)
             pending = still
         if _dbg: print(f"[timing] replay+retries: {_time.time()-_t0:.1f}s", file=sys.stderr, flush=True)
         self._misses = None
         return out
 
-    def _run_tasks(self, tasks, keys):
+    def _submit_tasks(self, tasks, keys):
+        """Route tasks to config buckets and enqueue them (non-blocking).
+        Returns [(task_keys, chunk, cfg, handle)] for _collect_tasks."""
         from dataclasses import replace as _rep
 
         # route to the primary or the wide/long config; batch by expected
@@ -359,8 +378,6 @@ class BatchedSelfCorrector(SelfCorrector):
             else:
                 huge.append(i)
         cfg_dense = _rep(self.cfg_huge, SLAB=False, G=32)
-        # submit every chunk first (device dispatch is async), then collect:
-        # batch k+1 computes while batch k's results cross the tunnel
         submitted = []
         for sel_all, cfg in ((small, self.cfg), (big, self.cfg_big),
                              (huge, self.cfg_huge), (dense, cfg_dense)):
@@ -378,15 +395,24 @@ class BatchedSelfCorrector(SelfCorrector):
                     self.ix, self.wx, chunk, cfg_eff,
                     self.params.error_rate, self.params.pb_coverage,
                 )
-                submitted.append((sel, chunk, cfg_eff, h))
-        for sel, chunk, cfg, h in submitted:
+                submitted.append(([keys[i] for i in sel], chunk, cfg_eff, h))
+        return submitted
+
+    def _collect_tasks(self, submitted) -> None:
+        for tkeys, chunk, cfg, h in submitted:
             res = walk.run_gap_batch(
                 self.ix, self.wx, chunk, cfg,
                 self.params.error_rate, self.params.pb_coverage,
                 _handle=h,
             )
-            for i, r in zip(sel, res):
-                self._prefetch[keys[i]] = r
+            for k, r in zip(tkeys, res):
+                self._prefetch[k] = r
+
+    def _run_tasks(self, tasks, keys):
+        """Submit every chunk first (device dispatch is async), then
+        collect: batch k+1 computes while batch k's results cross the
+        tunnel."""
+        self._collect_tasks(self._submit_tasks(tasks, keys))
 
     # ------------------------------------------------------------------
     def _correct_by_fm_extension(self, source: Seed, target: Seed, read_seq: str,

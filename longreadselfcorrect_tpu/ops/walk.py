@@ -41,7 +41,7 @@ CACHE_K = 8  # base cached kmer length for chain seeding (BWTIntervalCache analo
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["blocks", "ckpt", "C_bwt", "C_rbwt", "wcache"],
+    data_fields=["blocks", "ckpt", "frows", "C_bwt", "C_rbwt", "wcache"],
     meta_fields=["block", "rbwt_row_off", "ck"],
 )
 @dataclass(frozen=True)
@@ -54,6 +54,8 @@ class FusedFM:
 
     blocks: jax.Array      # i8  [nb_bwt + nb_rbwt, B]
     ckpt: jax.Array        # i32 [nb_bwt + nb_rbwt, 5]
+    frows: jax.Array       # i8  [nb, B+20]: blocks ++ bitcast ckpt — one
+                           # gather fetches a slab row AND its checkpoint
     C_bwt: jax.Array       # i32 [6]
     C_rbwt: jax.Array      # i32 [6]
     wcache: jax.Array      # i32 [4^ck, 4] walk-convention bi-interval of word
@@ -64,9 +66,14 @@ class FusedFM:
     @staticmethod
     def from_index_set(ix: IndexSet, host_ix, ck: int = CACHE_K) -> "FusedFM":
         assert ix.bwt.block == ix.rbwt.block
+        blocks = jnp.concatenate([ix.bwt.blocks, ix.rbwt.blocks], axis=0)
+        ckpt = jnp.concatenate([ix.bwt.ckpt, ix.rbwt.ckpt], axis=0)
+        ck8 = jax.lax.bitcast_convert_type(ckpt, jnp.int8)
         fused = FusedFM(
-            blocks=jnp.concatenate([ix.bwt.blocks, ix.rbwt.blocks], axis=0),
-            ckpt=jnp.concatenate([ix.bwt.ckpt, ix.rbwt.ckpt], axis=0),
+            blocks=blocks,
+            ckpt=ckpt,
+            frows=jnp.concatenate(
+                [blocks, ck8.reshape(ckpt.shape[0], -1)], axis=1),
             C_bwt=ix.bwt.C,
             C_rbwt=ix.rbwt.C,
             wcache=jnp.zeros((1, 4), I32),  # placeholder, replaced below
@@ -665,8 +672,10 @@ def _slab_fetch(fx: FusedFM, cfg: WalkConfig, lo0, hi0, rbwt_side: bool):
     ok = ~valid | (span <= SB)
     base_q = jnp.clip(jnp.where(valid, base_q, 0), 0, max(nb - SB, 0))
     rows_idx = base_q[..., None] + jnp.arange(SB, dtype=I32) + off
-    rows = fx.blocks[rows_idx]          # [..., SB, BLK]
-    ckr = fx.ckpt[rows_idx]             # [..., SB, 5]
+    g = fx.frows[rows_idx]              # [..., SB, BLK+20] one fused gather
+    rows = g[..., :BLK]
+    ckr = jax.lax.bitcast_convert_type(
+        g[..., BLK : BLK + 20].reshape(*g.shape[:-1], 5, 4), jnp.int32)
     return rows, ckr, base_q, ok
 
 
