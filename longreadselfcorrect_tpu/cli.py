@@ -436,30 +436,58 @@ def cmd_correct(args) -> int:
     from .io import fasta
 
     ix = _load_host_index(args.prefix)
+    lex = None
+    reads_by_rank = None
+    if args.algorithm in ("overlap", "hybrid"):
+        from .core.overlap_correct import overlap_correction
+        from .index import store
+
+        lex = store.load_sampled_sa(args.prefix, ix.bwt).lex
+        reads_by_rank = None  # extract matched reads from the BWT itself
     th = CorrectionThresholds()
     if args.kmer_threshold is not None:
         th.set_base_min_support(args.kmer_threshold)
     params = KmerCorrectParams(
         kmer_length=args.kmer_size, num_kmer_rounds=args.kmer_rounds, thresholds=th
     )
-    passed = failed = 0
+    kmer_passed = overlap_passed = failed = 0
+    threshold = max(th.required_support(0) - 1, 0)
     fdiscard = open(args.discard, "w") if args.discard else None
     with open(args.out, "w") as f:
         for rec in fasta.read_seqs(args.readsfile):
-            seq, qc = kmer_correct(ix, rec.seq, rec.qual, params)
-            passed += 1 if qc else 0
-            failed += 0 if qc else 1
+            kmer_qc = overlap_qc = False
+            if args.algorithm == "overlap":
+                seq, overlap_qc = overlap_correction(
+                    ix, lex, reads_by_rank, rec.seq, args.kmer_size,
+                    args.overlap_rounds, 1.0 - args.error_rate, threshold)
+            elif args.algorithm == "hybrid":
+                seq, kmer_qc = kmer_correct(ix, rec.seq, rec.qual, params)
+                if not kmer_qc:
+                    seq, overlap_qc = overlap_correction(
+                        ix, lex, reads_by_rank, rec.seq, args.kmer_size,
+                        args.overlap_rounds, 1.0 - args.error_rate, threshold)
+            else:
+                seq, kmer_qc = kmer_correct(ix, rec.seq, rec.qual, params)
+            # QC tallies + discard routing: ErrorCorrectProcess.cpp:591-635
+            qc = kmer_qc or overlap_qc
+            if kmer_qc:
+                kmer_passed += 1
+            elif overlap_qc:
+                overlap_passed += 1
+            else:
+                failed += 1
             if not seq:
                 continue
             if qc or fdiscard is None:
                 # without a discard writer the reference keeps failed reads
-                # in the main output (ErrorCorrectProcess.cpp:558-566)
+                # in the main output
                 fasta.write_fasta(f, rec.id, seq)
             else:
                 fasta.write_fasta(fdiscard, rec.id, seq)
     if fdiscard is not None:
         fdiscard.close()
-    print(f"Reads passed kmer QC check: {passed}", file=sys.stderr)
+    print(f"Reads passed kmer QC check: {kmer_passed}", file=sys.stderr)
+    print(f"Reads passed overlap QC check: {overlap_passed}", file=sys.stderr)
     print(f"Reads failed QC: {failed}", file=sys.stderr)
     return 0
 
@@ -842,6 +870,12 @@ def main(argv=None) -> int:
     p.add_argument("-k", "--kmer-size", type=int, default=31, dest="kmer_size")
     p.add_argument("-x", "--kmer-threshold", type=int, default=None, dest="kmer_threshold")
     p.add_argument("-r", "--kmer-rounds", type=int, default=10, dest="kmer_rounds")
+    p.add_argument("-a", "--algorithm", choices=("kmer", "overlap", "hybrid"),
+                   default="kmer")
+    p.add_argument("-e", "--error-rate", type=float, default=0.04,
+                   dest="error_rate")
+    p.add_argument("-R", "--overlap-rounds", type=int, default=1,
+                   dest="overlap_rounds")
     p.add_argument("--discard", default=None,
                    help="write QC-failed reads here instead of the main output")
     p.set_defaults(func=cmd_correct)

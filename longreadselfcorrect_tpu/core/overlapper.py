@@ -48,9 +48,9 @@ def extend_match(
     start_1: int,
     start_2: int,
     band_width: int,
-    match_score: int = 1,
-    gap_penalty: int = -1,
-    mismatch_penalty: int = -8,
+    match_score: int = 2,
+    gap_penalty: int = -5,
+    mismatch_penalty: int = -3,
 ) -> SequenceOverlap:
     num_columns = len(s1) + 1
     num_rows = len(s2) + 1
@@ -148,6 +148,76 @@ def extend_match(
                 break
         else:
             raise AssertionError("backtrack: no predecessor matches score")
+        out.total_columns += 1
+
+    out.match0_start = i
+    out.match1_start = j
+    out.cigar = "".join(reversed(cigar))
+    return out
+
+
+def compute_overlap(
+    s1: str,
+    s2: str,
+    match_score: int = 2,
+    gap_penalty: int = -6,
+    mismatch_penalty: int = -3,
+) -> SequenceOverlap:
+    """Overlapper::computeOverlap (Thirdparty/overlapper.cpp:253-385):
+    unbanded overlap DP (zero boundaries, best score on last row/column)
+    with default_params {2, -6, -3} (overlapper.cpp:35) and a FIXED
+    insertion/deletion/match tie order in the backtrack — unlike
+    extendMatch there is no homopolymer conditioning."""
+    num_columns = len(s1) + 1
+    num_rows = len(s2) + 1
+    a1 = np.frombuffer(s1.encode(), dtype=np.uint8)
+    a2 = np.frombuffer(s2.encode(), dtype=np.uint8)
+
+    cells = np.zeros((num_columns, num_rows), dtype=np.int64)
+    k = np.arange(num_rows, dtype=np.int64)
+    for i in range(1, num_columns):
+        sub = np.where(a2 == a1[i - 1], match_score, mismatch_penalty)
+        base = np.maximum(cells[i - 1, :-1] + sub, cells[i - 1, 1:] + gap_penalty)
+        # up-chain: curr[j] = max(base[j], curr[j-1]+gap), curr[0] = 0
+        base = np.concatenate(([0], base))
+        cells[i] = np.maximum.accumulate(base - k * gap_penalty) + k * gap_penalty
+
+    out = SequenceOverlap(length0=len(s1), length1=len(s2))
+    max_row_index = int(np.argmax(cells[1:, num_rows - 1])) + 1
+    max_row_value = int(cells[max_row_index, num_rows - 1])
+    max_col_index = int(np.argmax(cells[num_columns - 1, 1:])) + 1
+    max_col_value = int(cells[num_columns - 1, max_col_index])
+
+    if max_col_value > max_row_value:
+        i, j = num_columns - 1, max_col_index
+        out.score = max_col_value
+    else:
+        i, j = max_row_index, num_rows - 1
+        out.score = max_row_value
+
+    out.match0_end = i - 1
+    out.match1_end = j - 1
+
+    cigar = []
+    while i > 0 and j > 0:
+        is_match = s1[i - 1] == s2[j - 1]
+        up = cells[i, j - 1] + gap_penalty
+        left = cells[i - 1, j] + gap_penalty
+        curr = cells[i, j]
+        if curr == up:
+            cigar.append("I")
+            j -= 1
+            out.edit_distance += 1
+        elif curr == left:
+            cigar.append("D")
+            i -= 1
+            out.edit_distance += 1
+        else:
+            if not is_match:
+                out.edit_distance += 1
+            cigar.append("M")
+            i -= 1
+            j -= 1
         out.total_columns += 1
 
     out.match0_start = i

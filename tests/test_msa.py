@@ -12,8 +12,9 @@ from longreadselfcorrect_tpu.index.host import HostFM, HostIndexSet
 
 class TestOverlapper:
     def test_exact_match(self):
+        # the MSA path's explicit {1,-1,-8} scores (LongReadOverlap.cpp:633)
         s = "ACGTACGGTACGTTGACA"
-        ovl = extend_match(s, s, 0, 0, 20)
+        ovl = extend_match(s, s, 0, 0, 20, 1, -1, -8)
         assert ovl.edit_distance == 0
         assert ovl.total_columns == len(s)
         assert ovl.cigar == "M" * len(s)
@@ -22,7 +23,7 @@ class TestOverlapper:
     def test_single_mismatch(self):
         s1 = "ACGTACGGTACGTTGACA"
         s2 = s1[:8] + "C" + s1[9:]
-        ovl = extend_match(s1, s2, 0, 0, 20)
+        ovl = extend_match(s1, s2, 0, 0, 20, 1, -1, -8)
         # with mismatch -8 vs gap -1 the aligner prefers I+D over a
         # substitution (score 16-2 > 17-8), matching the reference scores
         assert ovl.edit_distance == 2
@@ -96,7 +97,7 @@ class TestOverlapper:
             s1 = "".join(rng.choice(list("ACGT"), size=n))
             s2 = "".join(rng.choice(list("ACGT"), size=m))
             for (st1, st2, band) in [(0, 0, 10), (0, 0, 30), (n - 5, m - 5, 12)]:
-                ovl = extend_match(s1, s2, st1, st2, band)
+                ovl = extend_match(s1, s2, st1, st2, band, 1, -1, -8)
                 # reconstruct my cells to compare against the scalar oracle
                 want = scalar_cells(s1, s2, st1, st2, band)
                 half = band // 2

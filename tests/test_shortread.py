@@ -80,6 +80,43 @@ class TestKmerCorrect:
         assert out == truth
 
 
+class TestOverlapCorrect:
+    def _lex(self, ix):
+        # rank -> read-id map; without it the LF backtrack's $-rank would be
+        # misread as a read id and the wrong sequences extracted
+        from longreadselfcorrect_tpu.index.host import build_lexico_index
+        return build_lexico_index(ix.bwt)
+
+    def test_clean_read_untouched(self, sr_corpus):
+        from longreadselfcorrect_tpu.core.overlap_correct import overlap_correction
+        genome, reads, ix, rng = sr_corpus
+        truth = genome[4000:4100]
+        out, qc = overlap_correction(ix, self._lex(ix), None, truth, 31, 1, 0.96, 3)
+        assert qc
+        assert out == truth
+
+    def test_clustered_errors_corrected(self, sr_corpus):
+        # two nearby substitutions defeat the single-base k-mer fix and force
+        # the MSA consensus path (ErrorCorrectProcess.cpp:83-283)
+        from longreadselfcorrect_tpu.core.overlap_correct import overlap_correction
+        genome, reads, ix, rng = sr_corpus
+        truth = genome[7000:7100]
+        bad = list(truth)
+        for p in (48, 52):
+            bad[p] = "ACGT"[("ACGT".index(bad[p]) + 1) % 4]
+        out, qc = overlap_correction(ix, self._lex(ix), None, "".join(bad),
+                                     31, 1, 0.96, 3)
+        assert qc
+        assert out == truth
+
+    def test_extract_read_inverts_bwt(self, sr_corpus):
+        from longreadselfcorrect_tpu.core.overlap_correct import extract_read
+        genome, reads, ix, rng = sr_corpus
+        # $-sector row i is read i's own terminator (distinct sentinels)
+        for rid in (0, 1, 17, 3999):
+            assert extract_read(ix, rid) == reads[rid]
+
+
 class TestPEMerge:
     def test_merge_gap_pair(self, sr_corpus):
         genome, reads, ix, rng = sr_corpus
