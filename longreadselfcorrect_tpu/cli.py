@@ -1,20 +1,23 @@
 """stride-compatible command line interface.
 
-Subcommand surface mirrors StriDe/StriDe.cpp:38-121; implemented so far:
+Subcommand surface mirrors StriDe/StriDe.cpp:38-121:
 
-  preprocess  quality filter/trim reads           (StriDe/preprocess.cpp)
-  index       build BWT/RBWT of a read set        (StriDe/index.cpp)
-  correct     short-read error correction (kmer)  (StriDe/correct.cpp)
-  fmwalk      PE merge / validate walks           (StriDe/FMIndexWalk.cpp)
-  filter      k-mer QC filtering                  (StriDe/filter.cpp)
-  pbcorrect   PacBio self-correction              (StriDe/PacBioSelfCorrection.cpp)
-  pbhc        PacBio hybrid correction            (StriDe/PacBioHybridCorrection.cpp)
-  kmerfreq    interactive k-mer frequency probe   (StriDe/kmerfreq.cpp)
-
+  preprocess  quality filter/trim reads             (StriDe/preprocess.cpp)
+  index       build BWT/RBWT of a read set          (StriDe/index.cpp)
+  correct     short-read EC: kmer/overlap/hybrid    (StriDe/correct.cpp)
+  fmwalk      PE merge/validate/kmerize walks       (StriDe/FMIndexWalk.cpp)
+  filter      k-mer QC + duplicate removal          (StriDe/filter.cpp)
+  merge       FM-merge unambiguous unitigs          (StriDe/fm-merge.cpp)
+  overlap     all-vs-all read overlap -> ASQG       (StriDe/overlap.cpp)
+  assemble    string-graph contig assembly          (StriDe/assemble.cpp)
+  asmlong     long-read string-graph assembly       (StriDe/asmlong.cpp)
+  pbcorrect   PacBio self-correction                (StriDe/PacBioSelfCorrection.cpp)
+  pbhc        PacBio hybrid correction              (StriDe/PacBioHybridCorrection.cpp)
+  kmerfreq    interactive k-mer frequency probe     (StriDe/kmerfreq.cpp)
+  kmercheck   k-mer distribution QC report          (StriDe/kmercheck.cpp)
+  oview       draw read overlaps from ASQG          (StriDe/oview.cpp)
+  subgraph    extract a neighborhood subgraph       (StriDe/subgraph.cpp)
   grep        locate a pattern's reads via the index (StriDe/grep.cpp)
-
-Remaining subcommands (overlap, assemble, asmlong, oview, subgraph, merge,
-kmercheck) land as their engines are built.
 """
 from __future__ import annotations
 
