@@ -22,11 +22,11 @@ sys.path.insert(0, REPO)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
 
 CACHE = os.path.join(REPO, ".bench_cache")
-VERSION = "v2-4mb-30x"
+VERSION = "v4-4mb-30x"
 GENOME_LEN = 4_000_000
 READ_LEN = 2000
 COVERAGE = 30
-N_BENCH = int(os.environ.get("BENCH_READS", "192"))
+N_BENCH = int(os.environ.get("BENCH_READS", "256"))
 
 import numpy as np
 
@@ -137,9 +137,14 @@ def main():
     # warm up on the FULL batch so every lane config the measured run uses
     # (including the G-quantized retry variants) is compiled before timing
     dev.process_batch(items)
-    t0 = time.time()
-    out = dev.process_batch(items)
-    dt_dev = time.time() - t0
+    # best-of-2 measured runs — the same min-of-N protocol the reference
+    # baseline below gets, so vs_baseline compares like with like
+    dt_dev = None
+    for _ in range(2):
+        t0 = time.time()
+        out = dev.process_batch(items)
+        dt = time.time() - t0
+        dt_dev = dt if dt_dev is None else min(dt_dev, dt)
     dev_rps = len(items) / dt_dev
     ok = sum(1 for r in out if r.merge)
     log(f"device: {len(items)} reads in {dt_dev:.1f}s -> {dev_rps:.2f} reads/s "
@@ -156,16 +161,19 @@ def main():
         with open(bench_reads, "w") as f:
             for rid, seq in items:
                 f.write(f">{rid}\n{seq}\n")
-        # run twice; report the warm (page-cache) run for a fair baseline
+        # run three times; score the reference at its FASTEST (first run
+        # warms the page cache; min-of-3 damps run-to-run noise and is the
+        # conservative choice for vs_baseline)
         dt_ref = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             subprocess.run(
                 [stride, "pbcorrect", "-t", "1", "-p", refidx, "-o", refout,
                  "-c", str(COVERAGE), bench_reads],
                 check=True, capture_output=True,
             )
-            dt_ref = time.time() - t0
+            dt = time.time() - t0
+            dt_ref = dt if dt_ref is None else min(dt_ref, dt)
         baseline_rps = len(items) / dt_ref
         log(f"reference binary (1 thread, warm): {len(items)} reads "
             f"in {dt_ref:.1f}s -> {baseline_rps:.2f} reads/s")
