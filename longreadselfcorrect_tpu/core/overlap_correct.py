@@ -13,11 +13,13 @@ Port of ErrorCorrectProcess::overlapCorrectionNew
    overlaps above the identity/length thresholds;
 4. column-majority consensus gated by the base's own k-mer frequency.
 
-One documented divergence: the reference's visited-marking map is an
-unordered_map, so WHICH anchor position survives per matched read follows
-glibc bucket order; here insertion order is used (python dict).  The
-surviving anchor only seeds the banded alignment, so overlaps — and
-almost always outputs — coincide.
+The reference's visited-marking map is an unordered_map, so WHICH anchor
+position survives per matched read follows libstdc++ bucket order.  That
+order is replayed exactly through libstdc++ itself when native/hashorder.so
+is built (see _bucket_order below — byte parity verified on 6000-read
+corpora, docs/PARITY.md); without the shim the fallback is python-dict
+insertion order, which only reorders anchor seeds of the banded alignment,
+so outputs almost always still coincide.
 """
 from __future__ import annotations
 

@@ -15,9 +15,10 @@ Re-implements the reference's exhaustive exact mode:
 * block -> edge conversion through the lexicographic index
   (OverlapCommon::parseHitsString, StriDe/OverlapCommon.cpp:16-77).
 
-The irreducible-only mode (computeIrreducibleBlocks) is not implemented;
-the exhaustive output (`overlap -x`, the default when errors are allowed)
-feeds assemble, whose transitive-reduction pass removes the same edges
+Both output modes are implemented: the exhaustive mode (`overlap -x`)
+and the irreducible-only mode (compute_irreducible_blocks below, the
+semantics of OverlapAlgorithm::computeIrreducibleBlocks); assemble's
+transitive-reduction pass removes the same edges either way
 (StriDe/assemble.cpp:199-203).
 
 Interval-pair updates follow BWTAlgorithms::updateBothL/R

@@ -1574,10 +1574,11 @@ def run_to_completion(wx: WalkIndex, consts: WalkConsts, state: WalkState,
 
 
 def _quant_g(n: int, g_max: int) -> int:
-    """Quantize a lane count to {16, 64, g_max}: every distinct G is a
+    """Quantize a lane count to {16, 64, 256, g_max}: every distinct G is a
     separate while-loop compile (minutes cold), and below ~64 lanes the
-    superstep is latency-bound anyway (0.22 ms at G=64 vs 1.0 at G=512)."""
-    for g in (16, 64):
+    superstep is latency-bound anyway (0.22 ms at G=64 vs 1.0 at G=512).
+    256 covers the miss-round retry waves (~125-260 gaps each)."""
+    for g in (16, 64, 256):
         if n <= g and g <= g_max:
             return g
     return g_max
