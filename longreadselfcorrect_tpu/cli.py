@@ -604,7 +604,11 @@ def cmd_filter(args) -> int:
 
 
 def cmd_overlap(args) -> int:
-    """All-vs-all exact read overlap -> ASQG (StriDe/overlap.cpp:126)."""
+    """All-vs-all read overlap -> ASQG (StriDe/overlap.cpp:126).
+
+    -e RATE >= 0 dispatches the inexact LSSF FM-walk engine with indel
+    tolerance -l (StriDe/overlap.cpp:190-192); transitive reduction is
+    disabled for inexact overlaps (:388-393)."""
     from .graph import asqg, overlap as ovl
     from .index import store
     from .io import fasta
@@ -615,15 +619,18 @@ def cmd_overlap(args) -> int:
     records = [(rec.id, rec.seq) for rec in fasta.read_seqs(args.readsfile)]
     out = args.out or (os.path.splitext(os.path.basename(args.readsfile))[0] + ".asqg.gz")
     from .graph.asqg import Header, _open
+    inexact = args.error_rate >= 0
     with _open(out, "w") as fh:
-        fh.write(Header(error_rate=0.0, min_overlap=args.min_overlap,
+        fh.write(Header(error_rate=max(args.error_rate, 0.0),
+                        min_overlap=args.min_overlap,
                         infile=args.readsfile).to_line() + "\n")
         edges = []
         stats = ovl.overlap_all(
             ix, records, args.min_overlap, lex_fwd, lex_rev,
             on_vertex=lambda rid, seq, is_sub: asqg.write_vertex(fh, rid, seq, is_sub),
             on_edge=edges.append,
-            irreducible=args.exact,
+            irreducible=args.exact and not inexact,
+            error_rate=args.error_rate, max_indel=args.maxindel,
         )
         for o in edges:
             asqg.write_edge(fh, o)
@@ -928,6 +935,11 @@ def main(argv=None) -> int:
                    help="emit only irreducible overlaps (reference default)")
     p.add_argument("-x", "--exhaustive", action="store_true",
                    help="emit all overlaps including transitive edges")
+    p.add_argument("-e", "--error-rate", type=float, default=-1.0,
+                   dest="error_rate",
+                   help="max error rate for inexact overlap (default: exact)")
+    p.add_argument("-l", "--maxindel", type=int, default=0,
+                   help="max indels during inexact overlap computation")
     p.set_defaults(func=cmd_overlap)
 
     p = sub.add_parser("assemble", help="string-graph contig assembly")

@@ -93,11 +93,15 @@ class BatchedSelfCorrector(SelfCorrector):
         )
         ck = self.wx.fused.ck
         cfg = cfg or walk.WalkConfig(G=512, MAXLEN=768, QMAX=768, WSCAN=320)
-        self.cfg = _rep(cfg, CK=ck, SLAB=True)
+        # SB=3 covers slot-0 interval spans <= 257 symbols (unique ck-mers
+        # are ~coverage wide); wider-repeat lanes escalate to the dense
+        # engine via code -300.  The slab row gather is the superstep's top
+        # cost, linear in SB.
+        self.cfg = _rep(cfg, CK=ck, SLAB=True, SB=3)
         # wide/long buckets for gaps that exceed the primary config's windows
         self.cfg_big = walk.WalkConfig(
             G=128, MAXLEN=1536, QMAX=1536, WSCAN=576, TMAX=self.cfg.TMAX,
-            KMAX=self.cfg.KMAX, CK=ck, SLAB=True,
+            KMAX=self.cfg.KMAX, CK=ck, SLAB=True, SB=3,
         )
         self.cfg_huge = walk.WalkConfig(
             G=64, MAXLEN=2816, QMAX=2816, WSCAN=1120, TMAX=self.cfg.TMAX,
@@ -222,7 +226,19 @@ class BatchedSelfCorrector(SelfCorrector):
                 lens[i] = len(e)
             dmat = jnp.asarray(mat)
             dlens = jnp.asarray(lens)
-            freq, valid = scan.kmer_table_full(self.wx.ix, dmat, dlens, max_k)
+            # the bit-plane kernel seeds its chains at k = ck from the walk's
+            # interval cache; the smallest k the probe machinery ever reads
+            # is min(static sizes) - 1 (scan ladder + estimateBestKmerSize),
+            # so it is exact whenever that floor clears ck
+            min_probe_k = pp.start_kmer_len + min(pp.offset) - 1
+            if min_probe_k >= self.wx.fused.ck and pp.scan_kmer_len >= self.wx.fused.ck:
+                pix = scan.plane_index_of(self.ix, self.wx)
+                freq, valid = scan.kmer_table_planes(
+                    pix, self.wx.fused.wcache, dmat, dlens, max_k,
+                    self.wx.fused.ck)
+            else:
+                freq, valid = scan.kmer_table_full(self.wx.ix, dmat, dlens,
+                                                   max_k)
             onehot = (dmat[:, :, None] == jnp.arange(1, 5, dtype=jnp.int8))
             prefix = jnp.pad(
                 jnp.cumsum(onehot, axis=1, dtype=jnp.int32),
@@ -379,8 +395,21 @@ class BatchedSelfCorrector(SelfCorrector):
                 huge.append(i)
         cfg_dense = _rep(self.cfg_huge, SLAB=False, G=32)
         submitted = []
-        for sel_all, cfg in ((small, self.cfg), (big, self.cfg_big),
-                             (huge, self.cfg_huge), (dense, cfg_dense)):
+        # small bucket (the bulk): queue-refill engine — ONE dispatch walks
+        # the whole list with on-device lane refill, so neither stragglers
+        # nor per-chunk dispatch round trips are paid
+        order = sorted(small, key=lambda i: tasks[i].dis)
+        QMAXT = 8192
+        for base in range(0, len(order), QMAXT):
+            sel = order[base : base + QMAXT]
+            chunk = [tasks[i] for i in sel]
+            h = walk.submit_queue_batch(
+                self.ix, self.wx, chunk, self.cfg,
+                self.params.error_rate, self.params.pb_coverage,
+            )
+            submitted.append(("queue", [keys[i] for i in sel], h))
+        for sel_all, cfg in ((big, self.cfg_big), (huge, self.cfg_huge),
+                             (dense, cfg_dense)):
             order = sorted(sel_all, key=lambda i: tasks[i].dis)
             for base in range(0, len(order), cfg.G):
                 sel = order[base : base + cfg.G]
@@ -395,16 +424,24 @@ class BatchedSelfCorrector(SelfCorrector):
                     self.ix, self.wx, chunk, cfg_eff,
                     self.params.error_rate, self.params.pb_coverage,
                 )
-                submitted.append(([keys[i] for i in sel], chunk, cfg_eff, h))
+                submitted.append(("batch", [keys[i] for i in sel],
+                                  (chunk, cfg_eff, h)))
         return submitted
 
     def _collect_tasks(self, submitted) -> None:
-        for tkeys, chunk, cfg, h in submitted:
-            res = walk.run_gap_batch(
-                self.ix, self.wx, chunk, cfg,
-                self.params.error_rate, self.params.pb_coverage,
-                _handle=h,
-            )
+        for kind, tkeys, payload in submitted:
+            if kind == "queue":
+                res = walk.collect_queue_batch(
+                    self.ix, self.wx, payload,
+                    self.params.error_rate, self.params.pb_coverage,
+                )
+            else:
+                chunk, cfg, h = payload
+                res = walk.run_gap_batch(
+                    self.ix, self.wx, chunk, cfg,
+                    self.params.error_rate, self.params.pb_coverage,
+                    _handle=h,
+                )
             for k, r in zip(tkeys, res):
                 self._prefetch[k] = r
 

@@ -53,6 +53,10 @@ class OverlapBlock:
     # irreducible classification (OverlapBlock::ranges)
     p_lo1: int = 0
     p_hi1: int = -1
+    # indel accounting of the inexact engine (OverlapBlock.h:106-121)
+    num_insertion: int = 0
+    num_deletion: int = 0
+    is_target_substring: bool = False
 
     def interval1_size(self) -> int:
         return max(self.raw1_hi - self.raw1_lo + 1, 0)
@@ -371,7 +375,9 @@ def block_to_overlaps(block: OverlapBlock, query_id: str, query_len: int,
         target_len = read_lens[target]
         ol = block.overlap_len
         sc1 = SeqCoord(query_len - ol, query_len - 1, query_len)
-        sc2 = SeqCoord(0, ol - 1, target_len)
+        # indel overlaps shift the target-side end (OverlapBlock::toOverlap)
+        sc2 = SeqCoord(0, ol - 1 - block.num_insertion + block.num_deletion,
+                       target_len)
         if q_rev:
             sc1.flip()
         if t_rev:
@@ -386,17 +392,28 @@ def block_to_overlaps(block: OverlapBlock, query_id: str, query_len: int,
 
 
 def overlap_all(ix, records: list, min_overlap: int, lex_fwd, lex_rev,
-                on_vertex=None, on_edge=None, irreducible: bool = False) -> dict:
+                on_vertex=None, on_edge=None, irreducible: bool = False,
+                error_rate: float = -1.0, max_indel: int = 0) -> dict:
     """Full overlap pass over (id, seq) records; calls back with VT/ED
     payloads in the reference's order (vertices as processed, edges after).
     irreducible=True emits only irreducible overlaps (the reference's
-    default exact mode, --exact)."""
+    default exact mode, --exact); error_rate >= 0 dispatches to the inexact
+    FM-walk engine (StriDe/overlap.cpp:191-192), whose output is always
+    exhaustive (:388-393)."""
     read_ids = [rid for rid, _ in records]
     read_lens = [len(s) for _, s in records]
     stats = {"substrings": 0, "edges": 0}
     edges = []
     for rid, seq in records:
-        blocks, contains, is_sub = overlap_read_exact(ix, seq, min_overlap, irreducible)
+        if error_rate >= 0:
+            from .overlap_inexact import overlap_read_inexact_fmwalk
+
+            blocks, is_sub = overlap_read_inexact_fmwalk(
+                ix, seq, min_overlap, error_rate, max_indel)
+            contains = []
+        else:
+            blocks, contains, is_sub = overlap_read_exact(
+                ix, seq, min_overlap, irreducible)
         if on_vertex is not None:
             on_vertex(rid, seq, is_sub)
         if is_sub:

@@ -168,3 +168,153 @@ def unpack_valid_bits(vbits: "np.ndarray", n_k: int):
 
     b = np.unpackbits(vbits[:, None], axis=1, bitorder="little")
     return b.reshape(-1, *vbits.shape[1:])[:n_k].astype(bool)
+
+
+# ---------------------------------------------------------------------------
+# bit-plane occ: the seed-table build at ~5x less VPU work per rank query
+# ---------------------------------------------------------------------------
+#
+# The fused-row occ above fetches a 148-byte row and runs a 128-lane compare
+# per query; over the ~50 levels x R*L lanes of the table build that compare
+# is the VPU hot spot.  Pack each 128-symbol block as 3 bit-planes (4 int32
+# words each) + its 5 checkpoint counts into one 68-byte row: occ is then
+# XOR/AND word math + population_count over 4 words — exact integer counts,
+# ~5x fewer vector ops and half the gather bytes.
+
+from dataclasses import dataclass
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["prows", "C"],
+    meta_fields=["block"],
+)
+@dataclass(frozen=True)
+class PlaneFM:
+    """One BWT as bit-plane rows: [nb, 17] i32 = 3 planes x 4 words + ckpt."""
+
+    prows: jax.Array
+    C: jax.Array
+    block: int
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["fwd", "rev"],
+    meta_fields=[],
+)
+@dataclass(frozen=True)
+class PlaneIndexSet:
+    fwd: PlaneFM   # RBWT (fwd-extension side)
+    rev: PlaneFM   # BWT
+
+
+@jax.jit
+def _build_plane_rows(blocks, ckpt):
+    nb, B = blocks.shape
+    assert B % 32 == 0
+    W = B // 32
+    sh = jnp.arange(32, dtype=jnp.uint32)
+    words = []
+    for i in range(3):
+        bits = ((blocks >> i) & 1).astype(jnp.uint32).reshape(nb, W, 32)
+        words.append(jnp.sum(bits << sh, axis=-1).astype(jnp.int32))
+    return jnp.concatenate(words + [ckpt.astype(jnp.int32)], axis=1)
+
+
+def build_planes(ix: IndexSet) -> PlaneIndexSet:
+    return PlaneIndexSet(
+        fwd=PlaneFM(prows=_build_plane_rows(ix.rbwt.blocks, ix.rbwt.ckpt),
+                    C=ix.rbwt.C, block=ix.rbwt.block),
+        rev=PlaneFM(prows=_build_plane_rows(ix.bwt.blocks, ix.bwt.ckpt),
+                    C=ix.bwt.C, block=ix.bwt.block),
+    )
+
+
+def plane_index_of(host_ix, dev_ix) -> PlaneIndexSet:
+    """Cached PlaneIndexSet for a host/device index pair."""
+    pix = getattr(host_ix, "_plane_ix", None)
+    if pix is None:
+        ix = dev_ix.ix if hasattr(dev_ix, "ix") else dev_ix
+        pix = host_ix._plane_ix = build_planes(ix)
+    return pix
+
+
+def _occ_planes(pf: PlaneFM, sym, idx):
+    """#occurrences of sym in BWT[0..idx]; same contract as rank.occ."""
+    B = pf.block
+    W = B // 32
+    p = (idx + 1).astype(I32)
+    q = p // B
+    r = p - q * B
+    row = pf.prows[q]                                   # [..., 17] one gather
+    sym32 = sym.astype(I32)
+    # ckpt select without a hardware gather
+    ck = jnp.zeros(p.shape, I32)
+    for b in range(5):
+        ck = ck + jnp.where(sym32 == b, row[..., 3 * W + b], 0)
+    e = [-((sym32 >> i) & 1) for i in range(3)]
+    cnt = jnp.zeros(p.shape, I32)
+    for w in range(W):
+        match = ~((row[..., w] ^ e[0])
+                  | (row[..., W + w] ^ e[1])
+                  | (row[..., 2 * W + w] ^ e[2]))
+        k = r - 32 * w
+        mask = jnp.where(
+            k <= 0, 0,
+            jnp.where(k >= 32, -1, (1 << jnp.clip(k, 0, 31)) - 1))
+        cnt = cnt + jax.lax.population_count(match & mask)
+    return ck + cnt
+
+
+def _update_planes(pf: PlaneFM, lo, hi, sym):
+    pb = pf.C[sym.astype(I32)]
+    return (pb + _occ_planes(pf, sym, lo - 1),
+            pb + _occ_planes(pf, sym, hi) - 1)
+
+
+@partial(jax.jit, static_argnames=("max_k", "ck"))
+def kmer_table_planes(pix: PlaneIndexSet, wcache, reads, lengths,
+                      max_k: int, ck: int):
+    """kmer_table_full via bit-plane occ, chain-seeded at k = ck.
+
+    The walk's ck-mer interval cache (walk.FusedFM.wcache, exact by
+    construction) supplies the state at level ck directly, skipping levels
+    1..ck-1 entirely; rows below ck report freq -1 / valid False.  Callers
+    must guarantee no k < ck is ever consumed (pbcorrect's smallest probed
+    k is start_kmer_len + min(offset) - 1 >= 14, core/correct.py:42-50).
+    Returns (freq int32 [max_k+1, R, L], valid bool [max_k+1, R, L]).
+    """
+    R, L = reads.shape
+    sym0 = reads.astype(I32)
+    pos = jnp.arange(L, dtype=I32)[None, :]
+
+    # 2-bit pack of reads[p : p+ck] per position (garbage where any char is
+    # padding — those lanes are fake for every k >= ck and masked below)
+    code = jnp.zeros((R, L), I32)
+    for j in range(ck):
+        nxt = jnp.pad(sym0[:, j:], ((0, 0), (0, j)), constant_values=1)
+        code = ((code << 2) | (jnp.clip(nxt, 1, 4) - 1)) & ((1 << (2 * ck)) - 1)
+    st = wcache[code]                                   # [R, L, 4]
+    state = (st[..., 0], st[..., 1], st[..., 2], st[..., 3])
+
+    empty = jnp.full((R, L), -1, I32)
+    never = jnp.zeros((R, L), bool)
+    freqs = [empty] * ck
+    valids = [never] * ck
+    for j in range(ck, max_k + 1):
+        fake = pos + j > lengths[:, None]
+        f_lo, f_hi, r_lo, r_hi = state
+        bival = (f_lo <= f_hi) & (r_lo <= r_hi)
+        freqs.append(jnp.where(fake, -1, rank.bi_freq(state)))
+        valids.append(jnp.where(fake, False, bival))
+        if j == max_k:
+            break
+        nxt = jnp.pad(sym0[:, j:], ((0, 0), (0, j)), constant_values=ab.PAD_RANK)
+        live = nxt < 5
+        s = jnp.clip(nxt, 0, 4)
+        nf = _update_planes(pix.fwd, f_lo, f_hi, s)
+        nr = _update_planes(pix.rev, r_lo, r_hi, rank.comp(s))
+        new_state = (nf[0], nf[1], nr[0], nr[1])
+        state = tuple(jnp.where(live, n, o) for n, o in zip(new_state, state))
+    return jnp.stack(freqs), jnp.stack(valids)

@@ -345,21 +345,43 @@ def _dev_index_of(host_ix) -> IndexSet:
     return dix
 
 
-@partial(jax.jit, static_argnames=("cfg", "kb_term", "kb_root"))
-def _prep_batch(ix: IndexSet, query, q_len, trg, trg_len, n_term, init_k,
-                max_overlap, min_overlap, min_sa, max_indel, max_length,
-                min_length, no_term, used, freqs, pacbio_e,
-                cfg: WalkConfig, kb_term: int, kb_root: int):
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["f_lo", "f_hi", "r_lo", "r_hi", "freq", "chain0",
+                 "tail9", "tail8", "tail_letter", "tail_count"],
+    meta_fields=[],
+)
+@dataclass(frozen=True)
+class RootPack:
+    """Per-task root-leaf seed values (everything _init_state needs beyond
+    WalkConsts): the root bi-interval, its chain ring, and tail codes."""
+
+    f_lo: jax.Array         # i32 [G]
+    f_hi: jax.Array
+    r_lo: jax.Array
+    r_hi: jax.Array
+    freq: jax.Array         # i32 [G]
+    chain0: jax.Array       # i32 [G, 4, NCHAIN]
+    tail9: jax.Array        # i32 [G]
+    tail8: jax.Array        # i32 [G]
+    tail_letter: jax.Array  # i8  [G]
+    tail_count: jax.Array   # i32 [G]
+
+
+def _prep_core(ix: IndexSet, query, q_len, trg, trg_len, n_term, init_k,
+               max_overlap, min_overlap, min_sa, max_indel, max_length,
+               min_length, no_term, freqs, pacbio_e,
+               cfg: WalkConfig, kb_term: int, kb_root: int, fused=None):
     """All FM-derived batch setup in one device dispatch.
 
     Computes what the reference's LongReadCorrectByOverlap constructor does
     per gap (terminal intervals for every target suffix
     LongReadCorrectByOverlap.cpp:82-88, the two query-seed code tables
     :90-95,127-152, the root leaf interval and its chain ring) as batched
-    backward searches over all G lanes at once.
+    backward searches over all G lanes at once.  G is taken from the array
+    shapes (the queue engine preps task banks larger than cfg.G).
     """
-    G, L = cfg.G, cfg.L
-    ed = cfg.err_dtype
+    G = query.shape[0]
     PAD = ab.PAD_RANK
     q32 = query.astype(I32)
 
@@ -382,10 +404,23 @@ def _prep_batch(ix: IndexSet, query, q_len, trg, trg_len, n_term, init_k,
     m = jnp.arange(cfg.TMAX, dtype=I32)[None, :]
 
     def tchar(j):
-        return jnp.clip(jnp.take_along_axis(t32, m + j, axis=1), 1, 4)
+        # window m starts at arange(TMAX), so char m+j is a static slice
+        return jnp.clip(t32[:, j : j + cfg.TMAX], 1, 4)
 
-    st = rank.init_bi(ix, tchar(0))
-    for j in range(1, kb_term):
+    if fused is not None:
+        # seed every window's chain at length CK straight from the walk's
+        # ck-mer interval cache instead of CK levels of batched LF — the
+        # terminal table is the prep's gather hot spot ([G, TMAX] lanes)
+        tcode = jnp.zeros((G, cfg.TMAX), I32)
+        for j in range(cfg.CK):
+            tcode = ((tcode << 2) | (tchar(j) - 1)) & ((1 << (2 * cfg.CK)) - 1)
+        tw = fused.wcache[tcode]
+        st = (tw[..., 0], tw[..., 1], tw[..., 2], tw[..., 3])
+        t_from = cfg.CK
+    else:
+        st = rank.init_bi(ix, tchar(0))
+        t_from = 1
+    for j in range(t_from, kb_term):
         ns = rank.extend_bi(ix, st, tchar(j))
         live = j < min_overlap[:, None]
         st = tuple(jnp.where(live, n_, o_) for n_, o_ in zip(ns, st))
@@ -396,8 +431,18 @@ def _prep_batch(ix: IndexSet, query, q_len, trg, trg_len, n_term, init_k,
                         jnp.where(valid_m, st[3], 0)], axis=-1)
 
     # --- root leaf interval: query[:init_k] left-to-right -------------------
-    rst = rank.init_bi(ix, jnp.clip(q32[:, 0], 1, 4))
-    for j in range(1, kb_root):
+    if fused is not None:
+        rcode = jnp.zeros(G, I32)
+        for j in range(cfg.CK):
+            rcode = ((rcode << 2) | (jnp.clip(q32[:, j], 1, 4) - 1)) & (
+                (1 << (2 * cfg.CK)) - 1)
+        rw = fused.wcache[rcode]
+        rst = (rw[..., 0], rw[..., 1], rw[..., 2], rw[..., 3])
+        r_from = cfg.CK
+    else:
+        rst = rank.init_bi(ix, jnp.clip(q32[:, 0], 1, 4))
+        r_from = 1
+    for j in range(r_from, kb_root):
         ns = rank.extend_bi(ix, rst, jnp.clip(q32[:, j], 1, 4))
         live = j < init_k
         rst = tuple(jnp.where(live, n_, o_) for n_, o_ in zip(ns, rst))
@@ -412,8 +457,17 @@ def _prep_batch(ix: IndexSet, query, q_len, trg, trg_len, n_term, init_k,
         pos = jnp.clip(start + i, 0, cfg.QMAX - 1)
         return jnp.clip(jnp.take_along_axis(q32, pos, axis=1), 1, 4)
 
-    cst = rank.init_bi(ix, cchar(0))
-    for i in range(1, kb_root):
+    if fused is not None:
+        ccode = jnp.zeros((G, NC), I32)
+        for i in range(cfg.CK):
+            ccode = ((ccode << 2) | (cchar(i) - 1)) & ((1 << (2 * cfg.CK)) - 1)
+        cw = fused.wcache[ccode]
+        cst = (cw[..., 0], cw[..., 1], cw[..., 2], cw[..., 3])
+        c_from = cfg.CK
+    else:
+        cst = rank.init_bi(ix, cchar(0))
+        c_from = 1
+    for i in range(c_from, max(kb_root, cfg.CK)):
         ns = rank.extend_bi(ix, cst, cchar(i))
         live = i < ks
         cst = tuple(jnp.where(live, n_, o_) for n_, o_ in zip(ns, cst))
@@ -447,7 +501,7 @@ def _prep_batch(ix: IndexSet, query, q_len, trg, trg_len, n_term, init_k,
     eq = (chb == chb[:, :1]) & (back >= 0)
     tail_count_0 = jnp.sum(jnp.cumprod(eq.astype(I32), axis=1), axis=1)
 
-    # --- assemble consts + state -------------------------------------------
+    # --- assemble consts + root pack ----------------------------------------
     consts = WalkConsts(
         query=query, q_len=q_len, trg=trg, trg_len=trg_len, n_term=n_term,
         term_f=term_f, term_r=term_r, qcode9=qcode9, qcode5=qcode5,
@@ -456,6 +510,20 @@ def _prep_batch(ix: IndexSet, query, q_len, trg, trg_len, n_term, init_k,
         min_length=min_length, no_term=no_term, freqs=freqs,
         pacbio_e=pacbio_e, err_bound=jnp.float32(0.25),
     )
+    root = RootPack(
+        f_lo=rst[0], f_hi=rst[1], r_lo=rst[2], r_hi=rst[3], freq=root_freq,
+        chain0=chain0, tail9=tail9_0, tail8=tail8_0,
+        tail_letter=tail_letter_0, tail_count=tail_count_0,
+    )
+    return consts, root
+
+
+def _init_state(consts: WalkConsts, root: RootPack, used, cfg: WalkConfig) -> WalkState:
+    """Fresh lane state for each task (leaf slot 0 = the root leaf)."""
+    G, L = consts.q_len.shape[0], cfg.L
+    ed = cfg.err_dtype
+    PAD = ab.PAD_RANK
+    query, init_k = consts.query, consts.init_k
     leaf0 = (jnp.arange(L, dtype=I32) == 0)[None, :]        # [1, L]
     u_l = used[:, None] & leaf0                             # [G, L]
     iota_m = jnp.arange(cfg.MAXLEN, dtype=I32)[None, :]
@@ -471,15 +539,15 @@ def _prep_batch(ix: IndexSet, query, q_len, trg, trg_len, n_term, init_k,
 
     GL = (G, L)
     chain = jnp.where(
-        u_l[:, :, None, None], chain0[:, None],
+        u_l[:, :, None, None], root.chain0[:, None],
         jnp.asarray([0, -1, 0, -1], I32)[None, None, :, None],
     )
     state = WalkState(
         labels=labels,
-        f_lo=put(rst[0]), f_hi=put(rst[1], -1),
-        r_lo=put(rst[2]), r_hi=put(rst[3], -1),
+        f_lo=put(root.f_lo), f_hi=put(root.f_hi, -1),
+        r_lo=put(root.r_lo), r_hi=put(root.r_hi, -1),
         alive=u_l,
-        kmer_freq=put(root_freq),
+        kmer_freq=put(root.freq),
         total_kmer=jnp.zeros(GL, I32),  # root node never calls addKmerCount
         last_seed_idx=put(init_k - cfg.seed_size),
         last_overlap_len=put(init_k),
@@ -492,10 +560,10 @@ def _prep_batch(ix: IndexSet, query, q_len, trg, trg_len, n_term, init_k,
         red_b=jnp.zeros(GL, I32),
         res_first=jnp.full(GL, -1, I32),
         res_second=jnp.full(GL, -1, I32),
-        tail_letter=jnp.where(u_l, tail_letter_0[:, None], jnp.int8(0)),
-        tail_count=put(tail_count_0),
-        tail9=put(tail9_0),
-        tail8=put(tail8_0),
+        tail_letter=jnp.where(u_l, root.tail_letter[:, None], jnp.int8(0)),
+        tail_count=put(root.tail_count),
+        tail9=put(root.tail9),
+        tail8=put(root.tail8),
         chain=chain,
         local_err=jnp.zeros(GL, ed),
         gerr_last=jnp.zeros(GL, ed),
@@ -512,7 +580,30 @@ def _prep_batch(ix: IndexSet, query, q_len, trg, trg_len, n_term, init_k,
         res_count=jnp.zeros(G, I32),
         res_overflow=jnp.zeros(G, bool),
     )
-    return consts, state
+    return state
+
+
+@partial(jax.jit, static_argnames=("cfg", "kb_term", "kb_root"))
+def _prep_batch(ix: IndexSet, query, q_len, trg, trg_len, n_term, init_k,
+                max_overlap, min_overlap, min_sa, max_indel, max_length,
+                min_length, no_term, used, freqs, pacbio_e,
+                cfg: WalkConfig, kb_term: int, kb_root: int):
+    consts, root = _prep_core(
+        ix, query, q_len, trg, trg_len, n_term, init_k, max_overlap,
+        min_overlap, min_sa, max_indel, max_length, min_length, no_term,
+        freqs, pacbio_e, cfg, kb_term, kb_root)
+    return consts, _init_state(consts, root, used, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg", "kb_term", "kb_root"))
+def _prep_bank(ix: IndexSet, fused, query, q_len, trg, trg_len, n_term,
+               init_k, max_overlap, min_overlap, min_sa, max_indel,
+               max_length, min_length, no_term, freqs, pacbio_e,
+               cfg: WalkConfig, kb_term: int, kb_root: int):
+    return _prep_core(
+        ix, query, q_len, trg, trg_len, n_term, init_k, max_overlap,
+        min_overlap, min_sa, max_indel, max_length, min_length, no_term,
+        freqs, pacbio_e, cfg, kb_term, kb_root, fused=fused)
 
 
 def build_batch(host_ix, tasks: list[GapTask], cfg: WalkConfig,
@@ -1647,17 +1738,270 @@ def run_gap_batch(host_ix, dev_ix, tasks, cfg: WalkConfig,
             retry_dense.append(g)
             continue
         out.append(finalize_gap(tasks, red_np, g, cfg))
-    if retry_dense:
-        # slab span overflow (wide repeat inside the walk label): replay on
-        # the dense-gather engine, which has no span limit
+    return _retry_flagged(host_ix, dev_ix, tasks, out, retry, retry_dense,
+                          cfg, pacbio_error_rate, pb_coverage, max_steps)
+
+
+# ---------------------------------------------------------------------------
+# queue-refill engine: one dispatch walks an arbitrary task list
+# ---------------------------------------------------------------------------
+#
+# The batch engine above runs G lanes to the completion of the SLOWEST lane
+# and pays one dispatch+readback round trip (~0.1 s through the device
+# tunnel) per G tasks.  The queue engine keeps a bank of T task descriptors
+# in HBM and refills each lane ON DEVICE the moment its gap finishes: a
+# whole correction round is ONE while_loop dispatch with no straggler waste
+# (the tail of the very last tasks aside).  Superstep semantics are shared,
+# so results are identical to the batch engine.
+
+_PER_GAP_CONST_FIELDS = (
+    "query", "q_len", "trg", "trg_len", "n_term", "term_f", "term_r",
+    "qcode9", "qcode5", "init_k", "max_overlap", "min_overlap", "min_sa",
+    "max_indel", "max_length", "min_length", "no_term",
+)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["consts", "root"],
+    meta_fields=[],
+)
+@dataclass(frozen=True)
+class QueueBank:
+    """Per-task constants + root seeds for T tasks, resident in HBM."""
+
+    consts: WalkConsts   # leading dim T on per-gap fields
+    root: RootPack       # leading dim T
+
+
+def _gather_consts(c: WalkConsts, idx) -> WalkConsts:
+    from dataclasses import replace as _rep
+
+    return _rep(c, **{f: getattr(c, f)[idx] for f in _PER_GAP_CONST_FIELDS})
+
+
+def _gather_root(r: RootPack, idx) -> RootPack:
+    from dataclasses import replace as _rep
+
+    fields = ("f_lo", "f_hi", "r_lo", "r_hi", "freq", "chain0", "tail9",
+              "tail8", "tail_letter", "tail_count")
+    return _rep(r, **{f: getattr(r, f)[idx] for f in fields})
+
+
+def _select_state(mask, a: WalkState, b: WalkState) -> WalkState:
+    """Per-lane select: mask [G] -> a where True else b, any field rank."""
+
+    def sel(x, y):
+        m = mask.reshape(mask.shape + (1,) * (x.ndim - 1))
+        return jnp.where(m, x, y)
+
+    return jax.tree_util.tree_map(sel, a, b)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_steps", "max_total"))
+def queue_run(wx: WalkIndex, bank: QueueBank, n, cfg: WalkConfig,
+              max_steps: int, max_total: int):
+    """Walk n tasks of the bank to completion in ONE device dispatch.
+
+    Lanes: cfg.G.  Each lane holds one task; when the task finishes, its
+    best-path reduction is scattered into the per-task output buffers and
+    the lane re-seeds from the next queue entry.  A lane stuck past
+    max_steps on one task is flagged (code -900 -> host replay); max_total
+    bounds the whole loop (unassigned/unfinished tasks keep code 0, which
+    the collector also routes to host replay).
+    """
+    T = bank.consts.q_len.shape[0]
+    G = cfg.G
+    task0 = jnp.arange(G, dtype=I32)
+    used0 = task0 < n
+    g0 = jnp.clip(task0, 0, T - 1)
+    st0 = _init_state(_gather_consts(bank.consts, g0),
+                      _gather_root(bank.root, g0), used0, cfg)
+    outs0 = (
+        jnp.zeros(T + 1, I32),                                  # code
+        jnp.zeros(T + 1, bool),                                 # overflow
+        jnp.zeros(T + 1, bool),                                 # has result
+        jnp.full((T + 1, cfg.MAXLEN), ab.PAD_RANK, jnp.int8),   # best label
+        jnp.zeros(T + 1, I32),                                  # label len
+        jnp.zeros(T + 1, I32),                                  # res_i
+    )
+    carry = (jnp.int32(0), jnp.int32(G), task0, jnp.zeros(G, I32), st0, outs0)
+
+    def cond(c):
+        gstep, _, _, _, st, _ = c
+        return (gstep < max_total) & jnp.any(st.active & (st.code == 0))
+
+    def body(c):
+        gstep, head, task_id, steps, st, outs = c
+        o_code, o_over, o_has, o_lab, o_len, o_i = outs
+        cg = _gather_consts(bank.consts, jnp.clip(task_id, 0, T - 1))
+        st = superstep(wx, cg, st, cfg)
+        steps = steps + 1
+        timeout = st.active & (st.code == 0) & (steps >= max_steps)
         from dataclasses import replace as _rep
+        st = _rep(st, code=jnp.where(timeout, jnp.int32(-900), st.code))
+        done = st.active & (st.code != 0)
+        code_r, over_r, has_r, lab_r, len_r, i_r = _reduce_results(st, cfg)
+        widx = jnp.where(done, task_id, T)
+        o_code = o_code.at[widx].set(code_r)
+        o_over = o_over.at[widx].set(over_r)
+        o_has = o_has.at[widx].set(has_r)
+        o_lab = o_lab.at[widx].set(lab_r)
+        o_len = o_len.at[widx].set(len_r)
+        o_i = o_i.at[widx].set(i_r)
+        # refill finished lanes from the queue head
+        new_t = head + jnp.cumsum(done.astype(I32)) - 1
+        has_new = done & (new_t < n)
+        nid = jnp.where(done, jnp.where(has_new, new_t, T), task_id)
+        gidx = jnp.clip(nid, 0, T - 1)
+        fresh = _init_state(_gather_consts(bank.consts, gidx),
+                            _gather_root(bank.root, gidx), has_new, cfg)
+        st = _select_state(done, fresh, st)
+        steps = jnp.where(done, 0, steps)
+        head = head + jnp.sum(done, dtype=I32)
+        return (gstep + 1, head, nid, steps, st,
+                (o_code, o_over, o_has, o_lab, o_len, o_i))
+
+    gstep, _, _, _, _, outs = jax.lax.while_loop(cond, body, carry)
+    o_code, o_over, o_has, o_lab, o_len, o_i = (o[:T] for o in outs)
+    # 2-bit pack the label buffer for the readback: device->host transfers
+    # through the tunnel are the collect bottleneck, and ranks are 1..4
+    # within each row's length (the tail is padding the decoder never reads)
+    l4 = (o_lab.reshape(T, cfg.MAXLEN // 4, 4).astype(I32) - 1) & 3
+    sh = jnp.arange(4, dtype=I32) * 2
+    lab2 = jnp.sum(l4 << sh, axis=-1).astype(jnp.uint8)
+    return gstep, o_code, o_over, o_has, lab2, o_len, o_i
+
+
+def build_bank(host_ix, tasks: list[GapTask], cfg: WalkConfig,
+               pacbio_error_rate: float, pb_coverage: int, dev_ix=None,
+               T: int | None = None) -> QueueBank:
+    """Host-side bank construction (same numpy prep as build_batch, sized T)."""
+    T = T or len(tasks)
+    assert len(tasks) <= T
+
+    n = len(tasks)
+    # one encode for the whole batch (per-call encode overhead dominated the
+    # host prep at thousands of tasks), then scatter rows by offset
+    qs = [t.src[len(t.src) - t.init_k:] + t.path + t.trg for t in tasks]
+    q_len_l = np.fromiter((len(q) for q in qs), np.int32, n)
+    trg_len_l = np.fromiter((len(t.trg) for t in tasks), np.int32, n)
+    assert q_len_l.size == 0 or int(q_len_l.max()) <= cfg.QMAX
+    flat_q = ab.encode("".join(qs))
+    flat_t = ab.encode("".join(t.trg for t in tasks))
+
+    def rows(flat, lens, width):
+        out = np.full((T, width), ab.PAD_RANK, np.int8)
+        off = np.concatenate([[0], np.cumsum(lens)])
+        pos = np.arange(width)
+        m = pos[None, :] < lens[:, None]
+        idx = np.minimum(off[:-1, None] + pos[None, :], max(len(flat) - 1, 0))
+        out[:n][m] = flat[idx[m]]
+        return out
+
+    query = rows(flat_q, q_len_l, cfg.QMAX)
+    trg = rows(flat_t, trg_len_l, cfg.TMAX + cfg.KMAX)
+    q_len = np.zeros(T, np.int32); q_len[:n] = q_len_l
+    trg_len = np.zeros(T, np.int32); trg_len[:n] = trg_len_l
+
+    dis = np.fromiter((t.dis for t in tasks), np.int64, n)
+    init_k_l = np.fromiter((t.init_k for t in tasks), np.int32, n)
+    min_ov_l = np.fromiter((t.min_overlap for t in tasks), np.int32, n)
+    max_ov_l = np.fromiter((t.max_overlap for t in tasks), np.int32, n)
+    min_sa_l = np.fromiter((t.min_sa_threshold for t in tasks), np.int32, n)
+
+    init_k = np.zeros(T, np.int32); init_k[:n] = init_k_l
+    max_overlap = np.zeros(T, np.int32); max_overlap[:n] = max_ov_l
+    min_overlap = np.full(T, 13, np.int32); min_overlap[:n] = min_ov_l
+    min_sa = np.full(T, 3, np.int32); min_sa[:n] = min_sa_l
+    n_term = np.zeros(T, np.int32)
+    n_term[:n] = np.maximum(trg_len_l - min_ov_l + 1, 0)
+    max_indel = np.zeros(T, np.int32)
+    max_indel[:n] = np.where(dis > 100, (dis * 0.2).astype(np.int64), 20)
+    max_length = np.zeros(T, np.int32)
+    max_length[:n] = (1.2 * (dis + 10) + 2 * init_k_l).astype(np.int64)
+    min_len_v = 0.8 * (dis - 20) + 2 * init_k_l
+    min_length = np.zeros(T, np.int32)
+    min_length[:n] = np.where(min_len_v >= 0, min_len_v, 0).astype(np.int64)
+    no_term = np.zeros(T, bool)
+    no_term[:n] = min_len_v < 0  # size_t wrap: termination never fires
+
+    if n:
+        assert int((trg_len_l - min_ov_l + 1).max()) <= cfg.TMAX
+        assert int(max_ov_l.max()) + 1 <= cfg.KMAX and int(init_k_l.max()) <= cfg.KMAX
+        assert int(min_ov_l.min()) >= cfg.CK + 1, "chain cache requires minOverlap >= CK+1"
+        assert int(max_length[:n].max()) + 2 <= cfg.MAXLEN
+        assert cfg.WSCAN >= 2 * int(max_indel[:n].max()) + cfg.seed_size * 2 + 3
+
+    freqs = np.zeros(101, np.float32)
+    mo = min((t.min_overlap for t in tasks), default=13)
+    for i in range(mo, 101):
+        freqs[i] = ((1 - pacbio_error_rate) ** i) * pb_coverage
+
+    ix = dev_ix if dev_ix is not None else _dev_index_of(host_ix)
+    fused = None
+    if isinstance(ix, WalkIndex):
+        fused = ix.fused
+        ix = ix.ix
+    if fused is not None and tasks:
+        # wcache seeding in the prep needs every chain to reach length CK
+        ok = all(t.init_k >= cfg.CK and t.min_overlap >= cfg.CK
+                 for t in tasks)
+        if not ok:
+            fused = None
+    kb_term = max(int(min_overlap[: len(tasks)].max()), 2) if tasks else 2
+    kb_root = max(int(init_k[: len(tasks)].max()), 2) if tasks else 2
+    consts, root = _prep_bank(
+        ix, fused, jnp.asarray(query), jnp.asarray(q_len), jnp.asarray(trg),
+        jnp.asarray(trg_len), jnp.asarray(n_term), jnp.asarray(init_k),
+        jnp.asarray(max_overlap), jnp.asarray(min_overlap),
+        jnp.asarray(min_sa), jnp.asarray(max_indel), jnp.asarray(max_length),
+        jnp.asarray(min_length), jnp.asarray(no_term),
+        jnp.asarray(freqs), jnp.float32(pacbio_error_rate),
+        cfg=cfg, kb_term=kb_term, kb_root=kb_root,
+    )
+    return QueueBank(consts=consts, root=root)
+
+
+def _quant_t(n: int) -> int:
+    """Bank-size buckets (each distinct T is a separate queue_run compile)."""
+    for t in (1024, 8192):
+        if n <= t:
+            return t
+    return ((n + 8191) // 8192) * 8192
+
+
+def submit_queue_batch(host_ix, dev_ix, tasks, cfg: WalkConfig,
+                       pacbio_error_rate: float, pb_coverage: int,
+                       max_steps: int = 4096, max_total: int = 1 << 18):
+    """Enqueue a queue-engine round without blocking (device is async)."""
+    import os as _os, sys as _sys, time as _time
+    _t0 = _time.time()
+    wx = dev_ix if isinstance(dev_ix, WalkIndex) else WalkIndex.build(dev_ix, host_ix)
+    bank = build_bank(host_ix, tasks, cfg, pacbio_error_rate, pb_coverage,
+                      dev_ix=wx, T=_quant_t(len(tasks)))
+    outs = queue_run(wx, bank, jnp.int32(len(tasks)), cfg, max_steps, max_total)
+    if _os.environ.get("LRSC_DEBUG_TIMING"):
+        print(f"[timing]   queue submit n={len(tasks)} T={_quant_t(len(tasks))}:"
+              f" host+enqueue {_time.time()-_t0:.2f}s",
+              file=_sys.stderr, flush=True)
+    return ("queue", tasks, cfg, outs)
+
+
+def _retry_flagged(host_ix, dev_ix, tasks, out, retry, retry_dense,
+                   cfg: WalkConfig, pacbio_error_rate, pb_coverage,
+                   max_steps=4096):
+    """Re-run -200 (leaf-slot overflow) gaps in the wide config and -300
+    (slab-span overflow) gaps on the dense-gather engine; fill `out`."""
+    from dataclasses import replace as _rep
+
+    if retry_dense:
         dense = _rep(cfg, SLAB=False, G=_quant_g(len(retry_dense), cfg.G))
         sub = [tasks[g] for g in retry_dense]
         for base in range(0, len(sub), dense.G):
             chunk = sub[base : base + dense.G]
             res = run_gap_batch(host_ix, dev_ix, chunk, dense,
-                                pacbio_error_rate, pb_coverage,
-                                max_steps, check_every)
+                                pacbio_error_rate, pb_coverage, max_steps)
             for j, r in enumerate(res):
                 out[retry_dense[base + j]] = r
     if retry:
@@ -1665,15 +2009,54 @@ def run_gap_batch(host_ix, dev_ix, tasks, cfg: WalkConfig,
             for g in retry:
                 out[g] = (-100, "")
         else:
-            from dataclasses import replace as _rep
             wide = _rep(cfg, L=cfg.max_leaves, CAND=4 * cfg.max_leaves,
                         G=_quant_g(len(retry), cfg.G))
             sub = [tasks[g] for g in retry]
             for base in range(0, len(sub), wide.G):
                 chunk = sub[base : base + wide.G]
                 res = run_gap_batch(host_ix, dev_ix, chunk, wide,
-                                    pacbio_error_rate, pb_coverage,
-                                    max_steps, check_every)
+                                    pacbio_error_rate, pb_coverage, max_steps)
                 for j, r in enumerate(res):
                     out[retry[base + j]] = r
     return out
+
+
+def collect_queue_batch(host_ix, dev_ix, handle, pacbio_error_rate,
+                        pb_coverage):
+    """Block on a submit_queue_batch handle; returns [(code, seq)]."""
+    import os as _os, sys as _sys, time as _time
+    _t0 = _time.time()
+    _, tasks, cfg, outs = handle
+    gstep, code, over, has, lab2, lens, i_ = jax.device_get(outs)
+    # unpack the 2-bit label rows back to rank symbols
+    sh = (np.arange(4, dtype=np.uint8) * 2)[None, None, :]
+    lab = (((lab2[:, :, None] >> sh) & 3) + 1).astype(np.int8).reshape(
+        lab2.shape[0], -1)
+    red_np = {
+        "code": code, "res_overflow": over, "has": has,
+        "lab": lab, "len": lens, "i": i_,
+    }
+    gstep_d = gstep
+    _t1 = _time.time()
+    out = []
+    retry, retry_dense = [], []
+    for g in range(len(tasks)):
+        c = int(red_np["code"][g])
+        if red_np["res_overflow"][g] or c == 0 or c == -900:
+            out.append((-100, ""))  # host replay (flag / timeout / unrun)
+        elif c == -200:
+            out.append(None)
+            retry.append(g)
+        elif c == -300:
+            out.append(None)
+            retry_dense.append(g)
+        else:
+            out.append(finalize_gap(tasks, red_np, g, cfg))
+    if _os.environ.get("LRSC_DEBUG_TIMING"):
+        nbad = sum(1 for r in out if r == (-100, ""))
+        print(f"[timing]   queue collect n={len(tasks)} steps={int(np.asarray(gstep_d))}:"
+              f" dev+readback {_t1-_t0:.2f}s finalize {_time.time()-_t1:.2f}s"
+              f" wide={len(retry)} dense={len(retry_dense)}"
+              f" hostflag={nbad}", file=_sys.stderr, flush=True)
+    return _retry_flagged(host_ix, dev_ix, tasks, out, retry, retry_dense,
+                          cfg, pacbio_error_rate, pb_coverage)

@@ -93,3 +93,30 @@ class TestDeviceWalk:
                 mismatches += 1
                 print("MISMATCH", dcode, hcode, len(dseq), len(hseq))
         assert mismatches == 0
+
+
+class TestQueueEngine:
+    """Queue-refill engine must agree with the batch engine / host oracle."""
+
+    def _run(self, corpus, noisy, slab):
+        genome, reads, hix, dix, rng = corpus
+        tasks = make_tasks(reads, rng, 24, noisy=noisy)
+        cfg = walk.WalkConfig(G=8, MAXLEN=512, QMAX=512, SLAB=slab)
+        wx = walk.WalkIndex.build(dix, hix)
+        h = walk.submit_queue_batch(hix, wx, tasks, cfg, 0.15, 30)
+        got = walk.collect_queue_batch(hix, wx, h, 0.15, 30)
+        mismatches = 0
+        for task, (dcode, dseq) in zip(tasks, got):
+            hcode, hseq = host_run(hix, task)
+            if dcode == -100:
+                continue  # host-replay flag: scheduler handles it
+            if (dcode, dseq) != (hcode, hseq):
+                mismatches += 1
+                print("MISMATCH", dcode, hcode, len(dseq), len(hseq))
+        assert mismatches == 0
+
+    def test_queue_clean(self, corpus):
+        self._run(corpus, noisy=False, slab=False)
+
+    def test_queue_noisy_slab(self, corpus):
+        self._run(corpus, noisy=True, slab=True)
