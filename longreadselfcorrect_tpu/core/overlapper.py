@@ -3,8 +3,9 @@
 Re-implementation of Overlapper::extendMatch (Thirdparty/overlapper.cpp:
 421-700): banded global/overlap DP with free-start boundaries, best score on
 the last row/column, and homopolymer-aware tie-breaking in the backtrack.
-Column fill is vectorised over the band (the up-chain is a running-max scan);
-the batched TPU version lives in ops/ and must match this one.
+Column fill is vectorised over the band (the up-chain is a running-max scan).
+This host engine is the golden oracle for the batched device MSA/DP path
+(ops/msa_kernels.py); any device result must match it byte-for-byte.
 """
 from __future__ import annotations
 
