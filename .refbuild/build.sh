@@ -49,6 +49,17 @@ shim dense_hash_map  map ", class V" "std::pair<const K, V>" dense_hash_map  ", 
 shim sparse_hash_set set "" "K" sparse_hash_set ""
 shim dense_hash_set  set "" "K" dense_hash_set  ""
 
+# 2015-era code calls abs() on unsigned types; newer libstdc++ makes those
+# calls ambiguous/ill-formed.  Preincluded into every TU via -include below.
+cat > "$B/include/refshim.h" <<'EOF'
+#pragma once
+#include <cstdlib>
+#include <cstdint>
+static inline long long abs(unsigned long long x) { long long s = (long long)x; return s < 0 ? -s : s; }
+static inline long abs(unsigned long x) { long s = (long)x; return s < 0 ? -s : s; }
+static inline unsigned int abs(unsigned int x) { return x; }
+EOF
+
 MODULES="Util SQG Bigraph Algorithm StringGraph Concurrency SuffixTools FMIndexWalk PacBio Thirdparty Thirdparty/rollinghash Thirdparty/ropebwt2 StriDe"
 INC="-I$B/include"
 for m in $MODULES; do INC="$INC -I$REF/$m"; done

@@ -10,6 +10,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# persistent compile cache: two XLA-compile-bound tests dominate the suite
+# (~15 min each cold); cached re-runs cut the wall time drastically
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
+)
 
 import jax
 
