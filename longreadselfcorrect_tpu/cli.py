@@ -2,6 +2,7 @@
 
 Subcommand surface mirrors StriDe/StriDe.cpp:38-121:
 
+  all         whole short-read pipeline in one run  (StriDe/strideall.cpp)
   preprocess  quality filter/trim reads             (StriDe/preprocess.cpp)
   index       build BWT/RBWT of a read set          (StriDe/index.cpp)
   correct     short-read EC: kmer/overlap/hybrid    (StriDe/correct.cpp)
@@ -98,6 +99,10 @@ def cmd_pbcorrect(args) -> int:
     else:
         corrector = SelfCorrector(ix, params)
     os.makedirs(args.output, exist_ok=True)
+    # threshold-table dump: the reference writes it whenever the output
+    # directory exists (KmerThreshold::initialize -> dtor, KmerThreshold.cpp:
+    # 33-41,50; StriDe/PacBioSelfCorrection.cpp:231)
+    corrector.thresh.write_table(os.path.join(args.output, "threshold-table"))
 
     totals = dict(
         reads_len=0, corrected_len=0, seed_num=0, walk_num=0, high_error=0,
@@ -410,27 +415,176 @@ def cmd_preprocess(args) -> int:
         min_length=args.min_length,
         quality_filter=args.quality_filter,
         discard_quality=args.no_quality,
+        discard_ambiguous=not args.permute_ambiguous,
         dust=args.dust,
         dust_threshold=args.dust_threshold,
         phred64=args.phred64,
+        primer_check=not args.no_primer_check,
+        pe_mode=args.pe_mode,
+        sample_freq=args.sample,
+        suffix=args.suffix,
     )
     stats = pp.PreprocessStats()
     rng = random.Random(0)
     out = sys.stdout if args.out == "-" else open(args.out, "w")
-    for rec in fasta.read_seqs(args.readsfile):
-        res = pp.process_read(rec.seq, rec.qual, params, stats, rng)
-        if res is None:
-            continue
-        seq, qual = res
+    orphan = open(args.pe_orphans, "w") if args.pe_orphans else None
+
+    def write_rec(f, rid, seq, qual):
         if qual:
-            out.write(f"@{rec.id}\n{seq}\n+\n{qual}\n")
+            f.write(f"@{rid}\n{seq}\n+\n{qual}\n")
         else:
-            out.write(f">{rec.id}\n{seq}\n")
+            f.write(f">{rid}\n{seq}\n")
+
+    def sample_pass():
+        return params.sample_freq >= 1.0 or rng.random() < params.sample_freq
+
+    files = list(args.readsfile)
+    if params.pe_mode == 0:
+        # SE path (preprocess.cpp:209-231)
+        for path in files:
+            for rec in fasta.read_seqs(path):
+                res = pp.process_read(rec.seq, rec.qual, params, stats, rng)
+                if res is None or not sample_pass():
+                    continue
+                seq, qual = res
+                rid = rec.id + params.suffix if params.suffix else rec.id
+                write_rec(out, rid, seq, qual)
+                stats.reads_kept += 1
+                stats.bases_kept += len(seq)
+    else:
+        # PE path (preprocess.cpp:233-321): mode 1 = two files in lockstep,
+        # mode 2 = interleaved records in one file; a failed half orphans
+        # its mate (written to --pe-orphans if given, else dropped)
+        if params.pe_mode == 1 and len(files) % 2 == 1:
+            print("Error: An even number of files must be given for pe-mode 1",
+                  file=sys.stderr)
+            return 1
+        streams = []
+        if params.pe_mode == 1:
+            for i in range(0, len(files), 2):
+                r1 = fasta.read_seqs(files[i])
+                r2 = fasta.read_seqs(files[i + 1])
+                streams.append(zip(r1, r2))
+        else:
+            for path in files:
+                it = iter(fasta.read_seqs(path))
+                streams.append(zip(it, it))
+        for stream in streams:
+            for rec1, rec2 in stream:
+                id1, id2 = rec1.id, rec2.id
+                if id1 == id2:
+                    if params.suffix:
+                        id1 += params.suffix
+                        id2 += params.suffix
+                    id1 += "/1"
+                    id2 += "/2"
+                # pair-name sanity check: warn + count, do NOT discard
+                # (preprocess.cpp:289-297)
+                if pp.get_pair_id(id2) != id1 or pp.get_pair_id(id1) != id2:
+                    print(f"Warning: Pair IDs do not match (expected format "
+                          f"/1,/2 or /A,/B)\nRead1 ID: {id1}\nRead2 ID: {id2}",
+                          file=sys.stderr)
+                    stats.invalid_pe += 2
+                res1 = pp.process_read(rec1.seq, rec1.qual, params, stats, rng)
+                res2 = pp.process_read(rec2.seq, rec2.qual, params, stats, rng)
+                if not sample_pass():
+                    continue
+                if res1 is not None and res2 is not None:
+                    write_rec(out, id1, *res1)
+                    write_rec(out, id2, *res2)
+                    stats.reads_kept += 2
+                    stats.bases_kept += len(res1[0]) + len(res2[0])
+                elif res1 is not None and orphan is not None:
+                    write_rec(orphan, id1, *res1)
+                elif res2 is not None and orphan is not None:
+                    write_rec(orphan, id2, *res2)
+
+    if orphan is not None:
+        orphan.close()
+    rk = stats.reads_kept / stats.reads_read if stats.reads_read else 0.0
+    bk = stats.bases_kept / stats.bases_read if stats.bases_read else 0.0
+    rp = stats.reads_primer / stats.reads_read if stats.reads_read else 0.0
     print(
-        f"Reads parsed:\t{stats.reads_read}\nReads kept:\t{stats.reads_kept}\n"
-        f"Bases parsed:\t{stats.bases_read}\nBases kept:\t{stats.bases_kept}",
+        f"Reads parsed:\t{stats.reads_read}\nReads kept:\t{stats.reads_kept}"
+        f" ({rk:g})\n"
+        f"Reads failed primer screen:\t{stats.reads_primer} ({rp:g})\n"
+        f"Bases parsed:\t{stats.bases_read}\nBases kept:\t{stats.bases_kept}"
+        f" ({bk:g})\n"
+        f"Number of incorrectly paired reads that were discarded: "
+        f"{stats.invalid_pe}",
         file=sys.stderr,
     )
+    return 0
+
+
+def cmd_all(args) -> int:
+    """One-command short-read pipeline (StriDe/strideall.cpp:89-330):
+    preprocess -> index -> correct(overlap) -> index -> fmwalk -> merge
+    outputs -> index -> filter -> index -> overlap -> assemble.
+
+    Stage arguments mirror the reference's hardcoded invocations
+    (strideall.cpp:94-322); one deliberate fix: the reference always passes
+    `-p 1` to preprocess (strideall.cpp:98-99) which breaks its own
+    `all -p 2` interleaved mode, while we forward the requested pe-mode."""
+    d = os.path.abspath(args.dir)
+    os.makedirs(d, exist_ok=True)
+    min_overlap = args.min_overlap or int(args.read_length * 0.8)
+    k, c = str(args.kmer_size), str(args.kmer_threshold)
+
+    def stage(name, argv):
+        print(f"\n\t[ stride all: {name} ]\n", file=sys.stderr, flush=True)
+        rc = main(argv)
+        if rc != 0:
+            print(f"stage {name} failed (rc={rc})", file=sys.stderr)
+            raise SystemExit(rc)
+
+    reads = os.path.join(d, "reads.fa")
+    ec = os.path.join(d, "READ.ECOLr.fasta")
+    ec_prefix = os.path.splitext(ec)[0]
+    merged = os.path.join(d, "merged.fa")
+    fpass = os.path.join(d, "merged.filter.pass.fa")
+    asqg = os.path.join(d, "merged.filter.pass.asqg.gz")
+
+    stage("preprocess", ["preprocess", "--no-quality",
+                         "-p", str(args.pe_mode), "-o", reads]
+          + list(args.readsfile))
+    stage("index reads", ["index", reads])
+    stage("correct", ["correct", "-a", "overlap", "-R", "1",
+                      "-k", k, "-x", c,
+                      "-p", os.path.splitext(reads)[0], "-o", ec, reads])
+    stage("index corrected", ["index", ec])
+    # fmwalk stage (strideall.cpp:200-228): -m minOverlap -L 64 leaves,
+    # max insert = 2 * insert size, hybrid MergeAndKmerize
+    merge_out = os.path.join(d, "READ.ECOLr.merge.fa")
+    kmerized = os.path.join(d, "READ.ECOLr.kmerized.fa")
+    stage("fmwalk", ["fmwalk", "-a", "hybrid", "-m", str(min_overlap),
+                     "-l", "64", "-L", str(2 * args.insert_size),
+                     "-k", k, "-x", c, "-p", ec_prefix,
+                     "-o", merge_out, "--discard", kmerized, ec])
+    # cat merge + kmerized -> merged.fa (strideall.cpp:231-244)
+    with open(merged, "w") as out:
+        for part in (merge_out, kmerized):
+            if os.path.exists(part):
+                with open(part) as f:
+                    out.write(f.read())
+    if os.path.exists(kmerized):
+        os.unlink(kmerized)
+    stage("index merged", ["index", merged])
+    stage("filter", ["filter", "--no-kmer-check",
+                     "-p", os.path.splitext(merged)[0], "-o", fpass, merged])
+    # the reference's filter --rebuild-BWT re-indexes the kept reads in
+    # place; we run an explicit index stage instead
+    stage("index filtered", ["index", fpass])
+    stage("overlap", ["overlap", "--exact", "-m", str(args.kmer_size - 1),
+                      "-p", os.path.splitext(fpass)[0], "-o", asqg, fpass])
+    stage("assemble", ["assemble", "-k", k, "-t", c,
+                       "-p", ec_prefix,
+                       "-i", str(args.insert_size),
+                       "-r", str(args.read_length),
+                       "-c", str(min_overlap),
+                       "-o", os.path.join(d, "StriDe"), asqg])
+    print(f"\nall done: contigs at {os.path.join(d, 'StriDe-contigs.fa')}",
+          file=sys.stderr)
     return 0
 
 
@@ -811,6 +965,37 @@ def cmd_assemble(args) -> int:
                                            int(args.read_length * 0.9))):
         graph_trim_and_smooth(g, max_chimera, ix, args.max_indel)
 
+    if ix is not None and not args.no_pe:
+        from .index import store
+        from .graph.visitors import (FastaErosionVisitor,
+                                     IslandCollectVisitor,
+                                     JoinIslandVisitor,
+                                     LowOverlapRatioEdgeSweepVisitor,
+                                     RemoveEdgeByPEVisitor)
+
+        ssa = store.load_sampled_sa(args.prefix, ix.bwt)
+        # PE-support edge removal (assemble.cpp:312-319)
+        for min_pe in (1,):
+            if g.visit(RemoveEdgeByPEVisitor(ix, ssa, args.insert_size, 51,
+                                             min_pe)):
+                graph_trim_and_smooth(g, max_chimera, ix, args.max_indel)
+        # small-vertex overlap-ratio sweep (assemble.cpp:326-331)
+        for length in range(args.read_length, args.read_length + 101, 15):
+            if g.visit(LowOverlapRatioEdgeSweepVisitor(
+                    length, args.min_overlap_ratio,
+                    int(length * args.min_overlap_ratio))):
+                graph_trim_and_smooth(g, max_chimera, ix, args.max_indel)
+        g.rename_vertices("")
+        # island/tip re-join phase (assemble.cpp:337-360)
+        g.visit(FastaErosionVisitor(ix.bwt, args.kmer_size,
+                                    args.kmer_threshold, max_chimera))
+        collect = IslandCollectVisitor(ix, ssa, args.insert_size, 51,
+                                       max_chimera)
+        g.visit(collect)
+        g.visit(JoinIslandVisitor(100, 4000, args.kmer_size // 2 + 4,
+                                  max_chimera, collect, ix, 3))
+        graph_trim_and_smooth(g, max_chimera, ix, args.max_indel)
+
     print("[Stats] Final graph:", file=sys.stderr)
     g.visit(stats)
     with open(args.out_prefix + "-contigs.fa", "w") as fh:
@@ -853,15 +1038,42 @@ def main(argv=None) -> int:
     p.add_argument("--onlyseed", action="store_true",
                    help="score seeds against barcode ground truth, no correction")
     p.add_argument("--debugseed", action="store_true",
-                   help="dump per-read seed files under <output>/seed/")
+                   help="dump per-read seed files under <output>/seed/ and "
+                        "failed-gap traces under <output>/extend/ (.ext/.dp)")
+    p.add_argument("--debugextend", action="store_true",
+                   help="accepted for reference CLI parity; the per-leaf "
+                        "extension trace it once gated is commented out in "
+                        "the reference (PacBioSelfCorrectionProcess.cpp:86-97)"
+                        " so it produces no output there or here")
     p.add_argument("-b", "--barcode", default=None)
     p.add_argument("--engine", choices=("host", "device"), default="host",
                    help="host: single-thread numpy engine; device: batched TPU engine")
     p.add_argument("--batch-reads", type=int, default=32)
     p.set_defaults(func=cmd_pbcorrect)
 
+    p = sub.add_parser("all", help="whole short-read pipeline in one run")
+    p.add_argument("readsfile", nargs="+",
+                   help="READS1 READS2 ... (pairs of files in pe-mode 1, "
+                        "interleaved files in pe-mode 2)")
+    p.add_argument("-r", "--read-length", type=int, required=True,
+                   dest="read_length", help="median read length")
+    p.add_argument("-i", "--insert-size", type=int, required=True,
+                   dest="insert_size", help="median insert size")
+    p.add_argument("-p", "--pe-mode", type=int, default=1, choices=(1, 2),
+                   dest="pe_mode")
+    p.add_argument("-k", "--kmer-size", type=int, default=31, dest="kmer_size")
+    p.add_argument("-c", "--kmer-threshold", type=int, default=3,
+                   dest="kmer_threshold")
+    p.add_argument("-m", "--min-overlap", type=int, default=0,
+                   dest="min_overlap",
+                   help="minimum reliable overlap (default: 0.8 * read length)")
+    p.add_argument("-d", "--dir", default=".",
+                   help="working directory for stage artifacts")
+    p.set_defaults(func=cmd_all)
+
     p = sub.add_parser("preprocess", help="quality filter/trim reads")
-    p.add_argument("readsfile")
+    p.add_argument("readsfile", nargs="+",
+                   help="READS1 [READS2 ...]; pairs of files in --pe-mode 1")
     p.add_argument("-o", "--out", default="-")
     p.add_argument("-q", "--quality-trim", type=int, default=0, dest="quality_trim")
     p.add_argument("--hard-clip", type=int, default=0, dest="hard_clip")
@@ -871,6 +1083,21 @@ def main(argv=None) -> int:
     p.add_argument("--dust", action="store_true")
     p.add_argument("--dust-threshold", type=float, default=4.0, dest="dust_threshold")
     p.add_argument("--phred64", action="store_true")
+    p.add_argument("-p", "--pe-mode", type=int, default=0, choices=(0, 1, 2),
+                   dest="pe_mode",
+                   help="0 unpaired; 1 pairs split across READS1/READS2 "
+                        "(interleaved on output); 2 pairs interleaved per file")
+    p.add_argument("--pe-orphans", default=None, dest="pe_orphans",
+                   help="write the passing half of a failed pair here")
+    p.add_argument("-s", "--sample", type=float, default=1.0,
+                   help="random read/pair acceptance probability")
+    p.add_argument("--suffix", default="", help="append SUFFIX to read IDs")
+    p.add_argument("--permute-ambiguous", action="store_true",
+                   dest="permute_ambiguous",
+                   help="randomly resolve IUPAC codes instead of discarding")
+    p.add_argument("--no-primer-check", action="store_true",
+                   dest="no_primer_check",
+                   help="disable the default Illumina primer screen")
     p.set_defaults(func=cmd_preprocess)
 
     p = sub.add_parser("correct", help="short-read kmer error correction")
@@ -959,6 +1186,9 @@ def main(argv=None) -> int:
                    dest="credible_overlap")
     p.add_argument("--max-edges", type=int, default=2000, dest="max_edges")
     p.add_argument("--max-indel", type=int, default=9, dest="max_indel")
+    p.add_argument("--no-pe", action="store_true", dest="no_pe",
+                   help="skip the PE-support and island-join phases "
+                        "(for non-paired read sets)")
     p.set_defaults(func=cmd_assemble)
 
     p = sub.add_parser("asmlong", help="long-read string-graph assembly")

@@ -107,6 +107,10 @@ class BatchedSelfCorrector(SelfCorrector):
             G=64, MAXLEN=2816, QMAX=2816, WSCAN=1120, TMAX=self.cfg.TMAX,
             KMAX=self.cfg.KMAX, CK=ck, SLAB=True,
         )
+        # deep-K tier: gaps whose extend-k exceeds the primary KMAX=24
+        # (long best-k seeds make ek up to kmer_len_up_bound-2 = 48) would
+        # otherwise fall off every config onto the host engine (fb_unfit)
+        self.cfg_deep = _rep(self.cfg_big, G=64, KMAX=52)
         self._prefetch: dict = {}
         self.stats = {"prefetch_hit": 0, "prefetch_miss": 0, "host_fallback": 0}
 
@@ -154,6 +158,11 @@ class BatchedSelfCorrector(SelfCorrector):
         return True
 
     # ------------------------------------------------------------------
+    def _fits_any(self, src, path, trg, interval, ek) -> bool:
+        """Does ANY device config cover this gap's dimensions?"""
+        return (self._task_fits(src, path, trg, interval, ek, self.cfg_huge)
+                or self._task_fits(src, path, trg, interval, ek, self.cfg_deep))
+
     def _seed_table_chunks(self, items):
         """Per-position (k, pos) freq/valid tables, chunked on device.
 
@@ -295,21 +304,57 @@ class BatchedSelfCorrector(SelfCorrector):
         if _dbg: print(f"[timing] seed scan (device): {_time.time()-_t0:.1f}s", file=sys.stderr, flush=True)
         _t0 = _time.time()
 
-        # optimistic prefetch: every consecutive seed pair of every read
+        # optimistic prefetch: every consecutive seed pair of every read.
+        # For i >= 2 the replay's source is the ACCUMULATED piece, whose
+        # seed_len is the merged length — for repeat-flanked gaps that
+        # changes ek (min(source.seed_len, target.seed_len) clamp,
+        # _plan_gap) and therefore the src tail, so the original-seed key
+        # would miss.  Both variants are predictable from the original
+        # seeds (the piece tail equals seeds[i-1].seed_str's tail), so
+        # enumerate both keys up front instead of paying miss rounds.
         tasks, keys = [], []
+        seen_keys = set()
+
+        def push(src, path, trg, interval, ek, min_sa):
+            key = (src, path, trg, interval, ek)
+            if key in seen_keys:
+                return
+            seen_keys.add(key)
+            if not self._fits_any(src, path, trg, interval, ek):
+                return
+            tasks.append(walk.GapTask(
+                src=src, path=path, trg=trg, dis=interval, init_k=ek,
+                max_overlap=ek + 2, min_overlap=self.params.min_kmer_len,
+                min_sa_threshold=min_sa,
+            ))
+            keys.append(key)
+
         for rid, seq, seeds in per_read:
             for i in range(1, len(seeds)):
                 src, path, trg, interval, ek, min_sa = self._plan_gap(
                     seeds[i - 1], seeds[i], seq
                 )
-                if not self._task_fits(src, path, trg, interval, ek, self.cfg_huge):
-                    continue
-                tasks.append(walk.GapTask(
-                    src=src, path=path, trg=trg, dis=interval, init_k=ek,
-                    max_overlap=ek + 2, min_overlap=self.params.min_kmer_len,
-                    min_sa_threshold=min_sa,
-                ))
-                keys.append((src, path, trg, interval, ek))
+                push(src, path, trg, interval, ek, min_sa)
+                prev, curr = seeds[i - 1], seeds[i]
+                if i >= 2 and (prev.is_repeat or curr.is_repeat):
+                    # accumulated-source variant: source.seed_len is large,
+                    # so ek2 = min(target.seed_len, start_kmer_len + 2);
+                    # the piece's tail equals prev.seed_str's tail as long
+                    # as ek2 fits inside it (the walk ends with the target)
+                    ek2 = min(curr.seed_len, self.start_kmer_len + 2)
+                    if ek2 != ek and ek2 <= prev.seed_len:
+                        src2 = prev.seed_str[prev.seed_len - ek2:]
+                        trg2 = curr.seed_str
+                        if prev.is_repeat and not curr.is_repeat:
+                            # R->U strand flip, as in _plan_gap
+                            p2 = (seq[prev.seed_end_pos + 1 : prev.seed_end_pos + 1 + interval]
+                                  if interval >= 0 else seq[prev.seed_end_pos + 1:])
+                            src2, trg2 = (ab.revcomp_str(trg2),
+                                          ab.revcomp_str(src2))
+                            path2 = ab.revcomp_str(p2)
+                        else:
+                            path2 = path
+                        push(src2, path2, trg2, interval, ek2, min_sa)
 
         self._prefetch = {}
         self._run_tasks(tasks, keys)
@@ -382,8 +427,9 @@ class BatchedSelfCorrector(SelfCorrector):
         # route to the primary or the wide/long config; batch by expected
         # walk depth so a chunk's lanes finish together.  Gaps whose initial
         # label is shorter than the chain-cache word can't use slab occ and
-        # run on the dense-gather engine instead.
-        small, big, huge, dense = [], [], [], []
+        # run on the dense-gather engine instead; deep-k gaps (ek beyond the
+        # primary KMAX) get the widened-chain config.
+        small, big, huge, deep, dense = [], [], [], [], []
         for i, t in enumerate(tasks):
             if t.init_k < self.cfg.CK:
                 dense.append(i)
@@ -391,8 +437,10 @@ class BatchedSelfCorrector(SelfCorrector):
                 small.append(i)
             elif self._task_fits(t.src, t.path, t.trg, t.dis, t.init_k, self.cfg_big):
                 big.append(i)
-            else:
+            elif self._task_fits(t.src, t.path, t.trg, t.dis, t.init_k, self.cfg_huge):
                 huge.append(i)
+            else:
+                deep.append(i)
         cfg_dense = _rep(self.cfg_huge, SLAB=False, G=32)
         submitted = []
         # small bucket (the bulk): queue-refill engine — ONE dispatch walks
@@ -409,7 +457,7 @@ class BatchedSelfCorrector(SelfCorrector):
             )
             submitted.append(("queue", [keys[i] for i in sel], h))
         for sel_all, cfg in ((big, self.cfg_big), (huge, self.cfg_huge),
-                             (dense, cfg_dense)):
+                             (deep, self.cfg_deep), (dense, cfg_dense)):
             order = sorted(sel_all, key=lambda i: tasks[i].dis)
             for base in range(0, len(order), cfg.G):
                 sel = order[base : base + cfg.G]
@@ -463,7 +511,7 @@ class BatchedSelfCorrector(SelfCorrector):
         elif (
             getattr(self, "_misses", None) is not None
             and hit is None
-            and self._task_fits(src, path, trg, interval, ek, self.cfg_huge)
+            and self._fits_any(src, path, trg, interval, ek)
         ):
             # collect for the next device round; the read's replay restarts
             self._misses.append((walk.GapTask(

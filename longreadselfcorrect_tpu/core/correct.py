@@ -55,6 +55,8 @@ class CorrectionParams:
             offset=tuple(offset),
             pool=tuple(pool),
             manual=self.manual,
+            debug_seed=self.debug_seed,
+            directory=self.directory,
         )
         fm = FMExtendParams(
             idmer_length=self.idmer_len,
@@ -108,7 +110,8 @@ class SelfCorrector:
 
         result = CorrectionResult(read_id=read_id)
         _t0 = _time.time()
-        seeds = seedmod.search_seeds(read_seq, self.ix, self.probe_params, self.thresh)
+        seeds = seedmod.search_seeds(read_seq, self.ix, self.probe_params,
+                                     self.thresh, read_id=read_id)
         result.timer_seed = _time.time() - _t0
         result.total_seed_num = len(seeds)
         self._dump_seeds(read_id, seeds)
@@ -141,6 +144,17 @@ class SelfCorrector:
         """initCorrect (PacBioSelfCorrectionProcess.cpp:56-157)."""
         if len(seeds) < 2:
             return []
+        ext_w = dp_w = None
+        if self.params.debug_seed:
+            # per-read failed-gap dumps (PacBioSelfCorrectionProcess.cpp:
+            # 64-74,130-131,139-140): extend/<read>.ext records FM failures
+            # (+4-coded type), extend/<read>.dp records MSA failures
+            import os
+
+            d = os.path.join(self.params.directory or ".", "extend")
+            os.makedirs(d, exist_ok=True)
+            ext_w = open(os.path.join(d, result.read_id + ".ext"), "w")
+            dp_w = open(os.path.join(d, result.read_id + ".dp"), "w")
         pieces = [copy.copy(seeds[0])]
         i = 1
         while i < len(seeds):
@@ -168,11 +182,17 @@ class SelfCorrector:
                     result.exceed_depth_num += 1
                 elif first_type == -3:
                     result.exceed_leave_num += 1
+                if ext_w is not None:
+                    ext_w.write(f"{source.seed_start_pos}\t"
+                                f"{target.seed_start_pos}\t{first_type + 4}\n")
                 result.total_walk_num += 1
                 ok, out = self._correct_by_msa(source, target, read_seq, result)
                 if ok:
                     source.append(out, target)
                 else:
+                    if dp_w is not None:
+                        dp_w.write(f"{source.seed_start_pos}\t"
+                                   f"{target.seed_start_pos}\n")
                     if self.params.split:
                         pieces.append(copy.copy(target))
                     else:
@@ -180,6 +200,9 @@ class SelfCorrector:
                         source.append(merged, target)
                     result.corrected_len += len(target.seed_str)
             i += 1
+        if ext_w is not None:
+            ext_w.close()
+            dp_w.close()
         return pieces
 
     # ------------------------------------------------------------------

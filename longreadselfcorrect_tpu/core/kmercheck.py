@@ -80,6 +80,20 @@ class KmerDistribution:
         if self.total > 1:
             self.sdv = math.sqrt(sqsum / (self.total - 1))
 
+    def get_cutoff_for_proportion(self, p: float) -> int:
+        """getCutoffForProportion (KmerDistribution.cpp:64-82): smallest
+        frequency whose cumulative proportion exceeds p (map order)."""
+        if not 0 <= p <= 1:
+            raise ValueError(p)
+        kmer_freq = 0
+        cum = 0
+        for val in sorted(self.data):
+            kmer_freq = val
+            cum += self.data[val]
+            if cum / self.total > p:
+                break
+        return kmer_freq
+
     def __str__(self) -> str:
         return f"{self.min} {self.q1} {self.q2} {self.q3} {self.max}"
 

@@ -35,6 +35,10 @@ class PreprocessParams:
     adapter_f: str = ""
     adapter_r: str = ""
     phred64: bool = False
+    primer_check: bool = False
+    pe_mode: int = 0
+    sample_freq: float = 1.0
+    suffix: str = ""
     seed: int = 0
 
 
@@ -45,6 +49,33 @@ class PreprocessStats:
     bases_read: int = 0
     bases_kept: int = 0
     failed_dust: int = 0
+    reads_primer: int = 0
+    invalid_pe: int = 0
+
+
+# Sanger pcr-free library primers (Util/PrimerScreen.cpp:17-18); the screen
+# matches the first 14 bases of a read against any substring of these
+_PRIMER_DB = (
+    "AATGATACGGCGACCACCGAGATCTACA",
+    "GATCGGAAGAGCGGTTCAGCAGGAATGC",
+)
+
+
+def contains_primer(seq: str) -> bool:
+    """PrimerScreen::containsPrimer (Util/PrimerScreen.cpp:27-43)."""
+    check = seq[:14]
+    return any(check in p for p in _PRIMER_DB)
+
+
+def get_pair_id(read_id: str) -> str:
+    """getPairID (Util/Util.cpp:388-410): flip the trailing pair marker."""
+    if not read_id:
+        return ""
+    flip = {"A": "B", "B": "A", "1": "2", "2": "1", "f": "r", "r": "f"}
+    last = read_id[-1]
+    if last not in flip:
+        return ""
+    return read_id[:-1] + flip[last]
 
 
 def char2phred(q: str) -> int:
@@ -139,12 +170,16 @@ def process_read(seq: str, qual: str, params: PreprocessParams,
         if gc < params.min_gc or gc > params.max_gc:
             return None
 
+    if params.primer_check and contains_primer(seq):
+        stats.reads_primer += 1
+        return None
+
     if params.discard_quality:
         qual = ""
 
     if len(seq) == 0 or len(seq) < params.min_length:
         return None
 
-    stats.reads_kept += 1
-    stats.bases_kept += len(seq)
+    # kept counting happens at the caller (the main loop, preprocess.cpp:
+    # 222-321): PE orphans and sampled-out reads pass here but are not kept
     return seq, qual

@@ -41,6 +41,8 @@ class ProbeParams:
     offset: tuple[int, int, int] = (0, 0, 0)
     pool: tuple[int, ...] = (5, 9, 19)
     manual: bool = False
+    debug_seed: bool = False   # --debugseed dumps (.log / seed/error)
+    directory: str = ""
 
 
 @dataclass
@@ -174,6 +176,7 @@ def get_seq_attribute(
     prefix: np.ndarray,
     thresh: KmerThreshold,
     scan_k: int,
+    log_writer=None,
 ) -> np.ndarray:
     """Position attribute (1 unique / 2 repeat) via a 300-bp sliding window of
     scan-k-mer modes — getSeqAttribute (LongReadProbe.cpp:120-182).
@@ -213,6 +216,11 @@ def get_seq_attribute(
     with np.errstate(divide="ignore", invalid="ignore"):
         ratio = (box_repeat.astype(F32) / size.astype(F32)).astype(np.float64) + 0.0005
     attribute[ratio >= 0.02] = 2
+    if log_writer is not None:
+        # extend/<read>.log ratio trace (LongReadProbe.cpp:122-124,171-172);
+        # the reference stores float then streams at 6 significant digits
+        for p in range(L):
+            log_writer.write(f"{p}\t{F32(ratio[p]):g}\n")
     return attribute
 
 
@@ -227,12 +235,15 @@ def search_seeds(
     thresh: KmerThreshold,
     freq_table: np.ndarray | None = None,
     valid_table: np.ndarray | None = None,
+    read_id: str = "",
 ) -> list[Seed]:
     """searchSeedsWithHybridKmers (LongReadProbe.cpp:34-117).
 
     freq_table/valid_table: optional precomputed [max_k+1, L] tables (e.g.
     produced on device); computed via the host index otherwise.
     """
+    import os
+
     read = ab.encode(read_str)
     L = len(read)
     static_size = params.start_kmer_len
@@ -243,12 +254,21 @@ def search_seeds(
         freq_table, valid_table = ix.kmer_freq_table(read, max_k)
     prefix = base_count_prefix(read)
 
+    log_writer = None
+    if params.debug_seed and read_id:
+        d = os.path.join(params.directory or ".", "extend")
+        os.makedirs(d, exist_ok=True)
+        log_writer = open(os.path.join(d, read_id + ".log"), "w")
+
     if params.manual:
         attribute = np.full(L, params.mode, dtype=np.int64)
     else:
         attribute = get_seq_attribute(
-            read, freq_table[params.scan_kmer_len], prefix, thresh, params.scan_kmer_len
+            read, freq_table[params.scan_kmer_len], prefix, thresh,
+            params.scan_kmer_len, log_writer,
         )
+    if log_writer is not None:
+        log_writer.close()
 
     seeds: list[Seed] = []
     init_pos = 0
@@ -312,7 +332,19 @@ def search_seeds(
         static_size -= params.offset[dynamic_mode]
         init_pos = next_init + 1
 
-    return remove_hitchhiking_seeds(seeds, params)
+    final = remove_hitchhiking_seeds(seeds, params)
+    if params.debug_seed and read_id:
+        # seed/error/<read>.seed: the hitchhiked outcasts
+        # (LongReadProbe.cpp:220-225, format SeedFeature.cpp:11-19)
+        d = os.path.join(params.directory or ".", "seed", "error")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, read_id + ".seed"), "w") as fh:
+            for s in seeds:
+                if s.is_hitchhiked:
+                    fh.write(f"{s.seed_str}\t{s.max_fixed_mer_freq}\t"
+                             f"{s.seed_start_pos}\t"
+                             f"{'Yes' if s.is_repeat else 'No'}\n")
+    return final
 
 
 def remove_hitchhiking_seeds(seeds: list[Seed], params: ProbeParams) -> list[Seed]:

@@ -44,6 +44,16 @@ class KmerThreshold:
     def get(self, mode: int, ksize: int) -> np.float32:
         return self.table[mode][ksize]
 
+    def write_table(self, path: str) -> None:
+        """The driver's threshold-table dump (KmerThreshold.cpp:33-41,65-72):
+        written whenever pbcorrect has an output directory."""
+        with open(path, "w") as out:
+            out.write(f"Coverage : {self.cov}\nsize\tlowcov\tunique\trepeat\n")
+            for ksize in range(self.start, self.end + 1):
+                row = [f"{np.float32(self.table[m, ksize]):g}"
+                       for m in range(3)]
+                out.write(f"{ksize}\t{row[0]}\t{row[1]}\t{row[2]}\n")
+
 
 def default_table(coverage: int) -> KmerThreshold:
     """KmerThreshold::Instance().initialize(-1, 50, cov, dir) as used by

@@ -183,6 +183,16 @@ class Edge:
         return Match((self.match_coord, self.twin.match_coord),
                      self.comp == EC_REVERSE)
 
+    def update_seq_len(self, new_len: int) -> None:
+        """Edge::updateSeqLen — the start vertex's sequence was resized."""
+        self.match_coord.seqlen = new_len
+
+    def offset_match(self, delta: int) -> None:
+        """Edge::offsetMatch — the start vertex's prefix grew/shrank by
+        delta; shift the match window."""
+        self.match_coord.start += delta
+        self.match_coord.end += delta
+
     def flip(self) -> None:
         self.comp = 1 - self.comp
         self.dir = 1 - self.dir
@@ -205,7 +215,8 @@ class Edge:
 
 
 class Vertex:
-    __slots__ = ("id", "seq", "edges", "color", "coverage", "contained")
+    __slots__ = ("id", "seq", "edges", "color", "coverage", "contained",
+                 "origin_length")
 
     def __init__(self, vid: str, seq: str):
         self.id = vid
@@ -214,6 +225,9 @@ class Vertex:
         self.color = GC_WHITE
         self.coverage = 1
         self.contained = False
+        # original read length at each end, carried through merges
+        # (Vertex.h:75-76,142-154; updated in Bigraph::merge :180)
+        self.origin_length = [len(seq), len(seq)]
 
     def get_edges(self, dir: int | None = None, sort_by_seqlen: bool = False):
         out = self.edges if dir is None else [e for e in self.edges if e.dir == dir]
@@ -324,6 +338,8 @@ class StringGraph:
         """Merge e.end into v1 across e (Bigraph::merge)."""
         v2 = e.end
         v1.merge(e)
+        # the merged end inherits v2's origin length (Bigraph.cpp:179-181)
+        v1.origin_length[e.dir] = v2.origin_length[1 - e.twin.dir]
         twin = e.twin
         trans_edges = v2.get_edges(1 - twin.dir)
         for te in trans_edges:

@@ -345,6 +345,496 @@ class FastaVisitor:
         return False
 
 
+def sample_kmer_counts(fm, kmer_size: int, sample_size: int, seed: int = 1):
+    """BWTAlgorithms::sampleKmerCounts (BWTAlgorithms.cpp:527-539): sample
+    `sample_size` reads, take each read's trailing kmer_size-suffix (in the
+    index's orientation, extractString semantics :454-470) and histogram its
+    both-strand occurrence count.  The reference draws reads with rand();
+    we use a seeded generator (deterministic, same distribution).
+    """
+    import numpy as np
+
+    from ..core.kmercheck import KmerDistribution
+
+    rng = np.random.default_rng(seed)
+    rows = rng.integers(0, fm.num_strings, size=sample_size).astype(np.int64)
+    words = np.zeros((sample_size, kmer_size), np.int8)
+    alive = np.ones(sample_size, bool)
+    # walk LF backwards from each read's $-row: emits last char first
+    for step in range(kmer_size):
+        syms = fm.symbols[rows].astype(np.int64)
+        hit_end = alive & (syms == 0)
+        alive &= ~hit_end
+        if not alive.any():
+            break
+        words[alive, kmer_size - 1 - step] = syms[alive]
+        nrows = fm.pc(syms) + fm.occ(syms, rows - 1)
+        rows = np.where(alive, nrows, rows)
+    kd = KmerDistribution()
+    full = words[:, 0] != 0
+    if full.any():
+        w = words[full]
+        lo, hi = fm.find_interval(w)
+        fwd = np.maximum(hi - lo + 1, 0)
+        # per-row reverse complement (ab.reverse_complement is 1-D only)
+        lo, hi = fm.find_interval(ab.complement(w)[:, ::-1])
+        rvc = np.maximum(hi - lo + 1, 0)
+        for c in (fwd + rvc).tolist():
+            kd.add(int(c))
+    for i in np.flatnonzero(~full):
+        # short read: count its truncated suffix (reference counts it too)
+        w = words[i][words[i] != 0]
+        if len(w) == 0:
+            kd.add(0)
+            continue
+        lo, hi = fm.find_interval(w)
+        n = max(int(hi - lo + 1), 0)
+        lo, hi = fm.find_interval(ab.reverse_complement(w))
+        kd.add(n + max(int(hi - lo + 1), 0))
+    return kd
+
+
+def _count_single_strand(fm, word) -> int:
+    """BWTAlgorithms::countSequenceOccurrencesSingleStrand."""
+    lo, hi = fm.find_interval(word)
+    return max(int(hi - lo + 1), 0)
+
+
+class _NameSet:
+    """NameSet (SGVisitors.h:25-52): read IDs whose reads contain a seed
+    k-mer, resolved through the sampled SA; interval capped at max_ids rows
+    (SGVisitors.cpp:1773-1792)."""
+
+    def __init__(self, fm, ssa, max_ids: int = 200):
+        self.fm = fm
+        self.ssa = ssa
+        self.max_ids = max_ids
+        self.ids: set[int] = set()
+
+    def _rows(self, word):
+        lo, hi = self.fm.find_interval(word)
+        lo, hi = int(lo), int(hi)
+        if hi < lo:
+            return None
+        hi = min(hi, lo + self.max_ids - 1)
+        import numpy as np
+
+        return np.arange(lo, hi + 1, dtype=np.int64)
+
+    def add_read_ids(self, word) -> list[int]:
+        rows = self._rows(word)
+        if rows is None:
+            return []
+        ids, _ = self.ssa.calc_sa(rows)
+        new = [int(i) for i in ids]
+        self.ids.update(new)
+        return new
+
+    def another_ids(self) -> list[int]:
+        """getAnotherReadIDs: mate of read i is i^1 (PE interleaved)."""
+        return [i ^ 1 for i in self.ids]
+
+    def __contains__(self, idx: int) -> bool:
+        return idx in self.ids
+
+
+# ReadOnContig (Util/Util.h:158-165)
+ROC_ANTISENSE_FWD, ROC_ANTISENSE_RVC, ROC_SENSE_FWD, ROC_SENSE_RVC = range(4)
+
+
+class FastaErosionVisitor:
+    """SGFastaErosionVisitor (SGVisitors.cpp:606-668): trim island/tip ends
+    back to the first k-mer supported on both strands of the read index."""
+
+    def __init__(self, fm, kmer_length: int, threshold: int,
+                 min_island: int = 500, erosion: int = 1):
+        self.fm = fm
+        self.k = kmer_length
+        self.threshold = threshold
+        self.min_island = min_island
+        self.erosion = erosion
+
+    def _supported(self, kmer_enc) -> bool:
+        same = _count_single_strand(self.fm, kmer_enc)
+        revc = _count_single_strand(self.fm, ab.reverse_complement(kmer_enc))
+        return ((same >= self.threshold and revc >= self.erosion)
+                or (same >= self.erosion and revc >= self.threshold))
+
+    def visit(self, g, v: Vertex):
+        seq_len = len(v.seq)
+        if seq_len < self.k:
+            return False
+        enc = ab.encode(v.seq)
+        start, end = 0, seq_len
+        if v.count_edges(ED_ANTISENSE) == 0:
+            for i in range(seq_len - self.k + 1):
+                if self._supported(enc[i : i + self.k]):
+                    start = i
+                    break
+        if v.count_edges(ED_SENSE) == 0:
+            for i in range(seq_len - self.k, -1, -1):
+                if self._supported(enc[i : i + self.k]):
+                    end = i + self.k
+                    break
+        length = end - start
+        if length >= self.min_island and (v.count_edges(ED_ANTISENSE) == 0
+                                          or v.count_edges(ED_SENSE) == 0):
+            v.seq = v.seq[start : start + length]
+            for e in v.get_edges(ED_SENSE):
+                e.update_seq_len(length)
+                e.offset_match(length - seq_len)  # antisense may be trimmed
+            for e in v.get_edges(ED_ANTISENSE):
+                e.update_seq_len(length)
+        return False
+
+
+class IslandCollectVisitor:
+    """SGIslandCollectVisitor (SGVisitors.cpp:1371-1441): for every
+    island/tip end, map non-repeat k-mer seeds (one per 20bp up to the
+    insert size) to read IDs through the sampled SA; records land in
+    `tslv` (read id -> [(vertex id, ReadOnContig)]) and per-vertex
+    direction lists for the join visitor."""
+
+    def __init__(self, indices, ssa, insert_size: int, kmer_size: int = 51,
+                 island_size: int = 500):
+        self.ix = indices            # HostIndexSet
+        self.ssa = ssa
+        self.insert_size = insert_size
+        self.k = kmer_size
+        self.min_island = island_size
+        self.tslv: dict[int, list] = {}
+        self.vertex_read_ids: dict[str, list[list[int]]] = {}
+
+    def previsit(self, g):
+        self.island_count = 0
+        kd = sample_kmer_counts(self.ix.rbwt, self.k, 100000)
+        self.repeat_cutoff = kd.get_cutoff_for_proportion(0.75)
+        kd.compute_attributes()
+        print(f"[IslandCollect] median kmer freq: {kd.q2} repeat cutoff: "
+              f"{self.repeat_cutoff} min island/tip size: {self.min_island} "
+              f"kmer: {self.k} insert: {self.insert_size}")
+
+    def _add(self, word, vertex, roc, bucket: _NameSet):
+        for rid in bucket.add_read_ids(word):
+            self.tslv.setdefault(rid, []).append((vertex.id, roc))
+
+    def visit(self, g, v: Vertex):
+        if not ((v.count_edges(ED_SENSE) == 0
+                 or v.count_edges(ED_ANTISENSE) == 0)
+                and len(v.seq) >= self.min_island):
+            return False
+        self.island_count += 1
+        enc = ab.encode(v.seq)
+        buckets = [_NameSet(self.ix.bwt, self.ssa) for _ in range(4)]
+        for i in range(0, self.insert_size, 20):
+            if i + self.k > len(v.seq):
+                break
+            if v.count_edges(ED_SENSE) == 0:
+                seed = enc[len(v.seq) - i - self.k : len(v.seq) - i]
+                if self.ix.bwt.count_occurrences_both_strands(seed) < self.repeat_cutoff:
+                    self._add(seed, v, ROC_SENSE_FWD, buckets[2])
+                    self._add(ab.reverse_complement(seed), v, ROC_SENSE_RVC,
+                              buckets[3])
+            if v.count_edges(ED_ANTISENSE) == 0:
+                seed = enc[i : i + self.k]
+                if self.ix.bwt.count_occurrences_both_strands(seed) < self.repeat_cutoff:
+                    self._add(seed, v, ROC_ANTISENSE_FWD, buckets[0])
+                    self._add(ab.reverse_complement(seed), v,
+                              ROC_ANTISENSE_RVC, buckets[1])
+        self.vertex_read_ids[v.id] = [sorted(b.ids) for b in buckets]
+        return True
+
+    def postvisit(self, g):
+        print(f"IslandCollect: Collect {self.island_count} islands/tips "
+              f"for FM-index walk")
+
+
+class JoinIslandVisitor:
+    """SGJoinIslandVisitor (SGVisitors.cpp:1443-1740): join islands/tips
+    that share paired-end read support with a two-read FM-index walk
+    (SAIntervalTree in kmer mode), then create the connecting edges."""
+
+    def __init__(self, search_depth: int, search_leaves: int, kmer: int,
+                 island_size: int, collect: IslandCollectVisitor,
+                 indices, min_pe_count: int = 5):
+        self.depth = search_depth
+        self.leaves = search_leaves
+        self.k = kmer
+        self.min_island = island_size
+        self.collect = collect
+        self.ix = indices
+        self.min_pe = min_pe_count
+        self.iterations = 2   # m_numOfIterations (SGVisitors.h:445)
+
+    def previsit(self, g):
+        self.island_count = 0
+        print(f"[JoinIsland] min PE support: {self.min_pe} kmer: {self.k}")
+
+    # -- helpers ---------------------------------------------------------
+    def _neighbors_with_pe(self, v: Vertex, island_dir: int) -> dict:
+        """findNeighborWithPESupport (SGVisitors.cpp:1466-1499)."""
+        out: dict[str, list[int]] = {}
+        ids = self.collect.vertex_read_ids.get(v.id, [[], [], [], []])
+        for rid in ids[island_dir]:
+            mate = rid ^ 1
+            for wid, roc in self.collect.tslv.get(mate, ()):
+                counts = out.setdefault(wid, [0, 0, 0, 0])
+                counts[roc] += 1
+        return out
+
+    def _merge_walk(self, start_full: str, target: str):
+        """The 2-iteration SAIntervalTree kmer-mode walk ladder."""
+        from ..core.pe_merge import SAIntervalTree
+
+        for i in range(self.iterations):
+            start = start_full[: len(start_full) - i * self.k]
+            if len(start) < self.k:
+                break
+            tree = SAIntervalTree(
+                self.ix, start, self.k, 100, len(start) + self.depth,
+                self.leaves, second_read=target, sa_threshold=1,
+                kmer_mode=True,
+            )
+            code, merged = tree.merge_two_reads()
+            if code > 0 and merged:
+                return merged
+        return None
+
+    def _update_extended(self, v: Vertex, new_str: str, dir: int) -> None:
+        """updateExtendedVertex (SGVisitors.cpp:1501-1511)."""
+        v.seq = new_str
+        for e in v.get_edges(dir):
+            e.update_seq_len(len(new_str))
+
+    def visit(self, g, v: Vertex):
+        from .core import EC_REVERSE, EC_SAME, Edge, SeqCoord
+
+        if not ((v.count_edges(ED_SENSE) == 0
+                 or v.count_edges(ED_ANTISENSE) == 0)
+                and len(v.seq) >= self.min_island):
+            return False
+
+        k = self.k
+        for island_dir in range(4):
+            if v.count_edges(ED_ANTISENSE) > 0 and island_dir in (0, 1):
+                continue
+            if v.count_edges(ED_SENSE) > 0 and island_dir in (2, 3):
+                continue
+            for wid, cnt in self._neighbors_with_pe(v, island_dir).items():
+                w = g.get_vertex(wid)
+                if w is None or w is v:
+                    continue
+                pre_f, pre_r, suf_f, suf_r = cnt
+                # impossible-case skips (SGVisitors.cpp:1546-1549; the
+                # SenseRvc comparison is inverted in the reference — kept)
+                if island_dir == 0 and pre_f <= self.min_pe and suf_r <= self.min_pe:
+                    continue
+                if island_dir == 1 and pre_r <= self.min_pe and suf_f <= self.min_pe:
+                    continue
+                if island_dir == 2 and suf_f <= self.min_pe and pre_r <= self.min_pe:
+                    continue
+                if island_dir == 3 and suf_r <= self.min_pe and pre_f > self.min_pe:
+                    continue
+                v_str, w_str = v.seq, w.seq
+
+                # case 1: prefix-prefix (EC_REVERSE)
+                if ((island_dir == 0 and pre_f > self.min_pe)
+                        or (island_dir == 1 and pre_r > self.min_pe)) \
+                        and v.count_edges(ED_ANTISENSE) == 0 \
+                        and w.count_edges(ED_ANTISENSE) == 0:
+                    merged = self._merge_walk(ab.revcomp_str(w_str), v_str)
+                    if merged:
+                        w_new = merged[: len(merged) - len(v_str) + k]
+                        w.seq = ab.revcomp_str(w_new)
+                        for e in w.get_edges(ED_SENSE):
+                            e.update_seq_len(len(w_new))
+                            e.offset_match(len(w_new) - len(w_str))
+                        cv = SeqCoord(0, k - 1, len(v_str))
+                        cw = SeqCoord(0, k - 1, len(w_new))
+                        self._link(g, v, w, ED_ANTISENSE, ED_ANTISENSE,
+                                   EC_REVERSE, cv, cw)
+
+                # case 4: V prefix joins W suffix (EC_SAME)
+                elif ((island_dir == 0 and suf_r > self.min_pe)
+                        or (island_dir == 1 and suf_f > self.min_pe)) \
+                        and v.count_edges(ED_ANTISENSE) == 0 \
+                        and w.count_edges(ED_SENSE) == 0:
+                    merged = self._merge_walk(w_str, v_str)
+                    if merged:
+                        w_new = merged[: len(merged) - len(v_str) + k]
+                        self._update_extended(w, w_new, ED_ANTISENSE)
+                        cv = SeqCoord(0, k - 1, len(v_str))
+                        cw = SeqCoord(len(w_new) - k, len(w_new) - 1, len(w_new))
+                        self._link(g, v, w, ED_ANTISENSE, ED_SENSE,
+                                   EC_SAME, cv, cw)
+
+                # case 5: suffix-suffix (EC_REVERSE)
+                elif ((island_dir == 2 and suf_f > self.min_pe)
+                        or (island_dir == 3 and suf_r > self.min_pe)) \
+                        and v.count_edges(ED_SENSE) == 0 \
+                        and w.count_edges(ED_SENSE) == 0:
+                    merged = self._merge_walk(v_str, ab.revcomp_str(w_str))
+                    if merged:
+                        v_new = merged[: len(merged) - len(w_str) + k]
+                        self._update_extended(v, v_new, ED_ANTISENSE)
+                        cv = SeqCoord(len(v_new) - k, len(v_new) - 1, len(v_new))
+                        cw = SeqCoord(len(w_str) - k, len(w_str) - 1, len(w_str))
+                        self._link(g, v, w, ED_SENSE, ED_SENSE,
+                                   EC_REVERSE, cv, cw)
+
+                # case 8: V suffix joins W prefix (EC_SAME)
+                elif ((island_dir == 2 and pre_r > self.min_pe)
+                        or (island_dir == 3 and pre_f > self.min_pe)) \
+                        and v.count_edges(ED_SENSE) == 0 \
+                        and w.count_edges(ED_ANTISENSE) == 0:
+                    merged = self._merge_walk(v_str, w_str)
+                    if merged:
+                        v_new = merged[: len(merged) - len(w_str) + k]
+                        self._update_extended(v, v_new, ED_ANTISENSE)
+                        cv = SeqCoord(len(v_new) - k, len(v_new) - 1, len(v_new))
+                        cw = SeqCoord(0, k - 1, len(w_str))
+                        self._link(g, v, w, ED_SENSE, ED_ANTISENSE,
+                                   EC_SAME, cv, cw)
+        return True
+
+    def _link(self, g, v, w, dir_v, dir_w, comp, coord_v, coord_w) -> None:
+        from .core import Edge
+
+        e_vw = Edge(v, w, dir_v, comp, coord_v)
+        e_wv = Edge(w, v, dir_w, comp, coord_w)
+        e_vw.twin, e_wv.twin = e_wv, e_vw
+        v.edges.append(e_vw)
+        w.edges.append(e_wv)
+        self.island_count += 1
+
+    def postvisit(self, g):
+        print(f"JoinIsland: joined {self.island_count} islands/tips")
+        g.simplify()
+
+
+class LowOverlapRatioEdgeSweepVisitor:
+    """SGLowOverlapRatioEdgeSweepVisitor (SGVisitors.cpp:830-900): on small
+    vertices, remove edges whose match length is a small fraction of the
+    shorter flanking origin read length."""
+
+    def __init__(self, min_vertex_size: int, overlap_ratio: float,
+                 match_length: int):
+        self.min_vertex_size = min_vertex_size
+        self.ratio = overlap_ratio
+        self.match_length = match_length
+
+    def previsit(self, g):
+        for v in g.vertices.values():
+            for e in v.edges:
+                e.color = GC_WHITE
+
+    def visit(self, g, v: Vertex):
+        if len(v.seq) >= self.min_vertex_size:
+            return False
+        changed = False
+        for dir in (ED_SENSE, ED_ANTISENSE):
+            origin = v.origin_length[dir]
+            for e in v.get_edges(dir):
+                match_len = e.match_length()
+                if self.match_length != 0 and match_len > self.match_length:
+                    continue
+                other_origin = e.end.origin_length[e.twin.dir]
+                min_len = min(origin, other_origin)
+                if min_len and match_len / min_len < self.ratio:
+                    e.color = GC_BLACK
+                    e.twin.color = GC_BLACK
+                    changed = True
+        return changed
+
+    def postvisit(self, g):
+        n = g.sweep_edges(GC_BLACK)
+        print(f"LowOverlapRatioSweep: removed {n // 2} low-ratio edges")
+
+
+class RemoveEdgeByPEVisitor:
+    """SGRemoveEdgeByPEVisitor (SGVisitors.cpp:1115-1283): remove edges
+    whose graph walks lack paired-end read support at the insert size."""
+
+    def __init__(self, indices, ssa, insert_size: int, kmer_size: int = 51,
+                 min_pe_count: int = 1):
+        self.ix = indices
+        self.ssa = ssa
+        self.insert_size = insert_size
+        self.k = kmer_size
+        self.min_pe = min_pe_count
+
+    def previsit(self, g):
+        self.edge_count = 0
+        for v in g.vertices.values():
+            v.edges.sort(key=lambda e: e.match_length())
+            for e in v.edges:
+                e.color = GC_WHITE
+
+    def visit(self, g, v: Vertex):
+        from . import search as sgsearch
+
+        changed = False
+        for dir in (ED_SENSE, ED_ANTISENSE):
+            edges = v.get_edges(dir)
+            if not edges:
+                continue
+            walks = sgsearch.get_tree_walks(
+                v, dir, int(self.insert_size * 1.5), 128)
+            insert_var = self.k // 2 + 1
+            goals = [None] * len(walks)
+            for e in edges:
+                if e.match_length() >= self.insert_size * 0.8:
+                    continue
+                seq = v.seq if dir == ED_SENSE else ab.revcomp_str(v.seq)
+                enc = ab.encode(seq)
+                pv = _NameSet(self.ix.bwt, self.ssa)
+                boundary = len(v.seq) - e.match_length() - 1
+                for pos in (boundary, boundary - self.k // 2,
+                            boundary - self.k):
+                    p = max(pos, 0)
+                    word = enc[p : p + self.k]
+                    if len(word) == self.k:
+                        pv.add_read_ids(word)
+                        pv.add_read_ids(ab.reverse_complement(word))
+                boundary = max(boundary - self.k // 2, 0)
+                mates = pv.another_ids()
+                pe_count = 0
+                for i, wk in enumerate(walks):
+                    if wk.first_edge() is not e:
+                        continue
+                    if goals[i] is None:
+                        goals[i] = _NameSet(self.ix.bwt, self.ssa, 600)
+                        ws = wk.get_string()
+                        if dir != ED_SENSE:
+                            ws = ab.revcomp_str(ws)
+                        wenc = ab.encode(ws)
+                        for off in (-insert_var, 0, insert_var):
+                            tpos = boundary + self.insert_size + off
+                            if len(ws) >= tpos and tpos >= self.k:
+                                word = wenc[tpos - self.k : tpos]
+                                goals[i].add_read_ids(word)
+                                goals[i].add_read_ids(
+                                    ab.reverse_complement(word))
+                    for m in mates:
+                        if m in goals[i]:
+                            pe_count += 1
+                        if pe_count >= self.min_pe:
+                            break
+                    if pe_count >= self.min_pe:
+                        break
+                if pe_count < self.min_pe and e.color == GC_WHITE:
+                    e.color = GC_BLACK
+                    e.twin.color = GC_BLACK
+                    self.edge_count += 1
+                    changed = True
+        return changed
+
+    def postvisit(self, g):
+        n = g.sweep_edges(GC_BLACK)
+        print(f"RemoveEdgeByPE: removed {n // 2} edges without PE support "
+              f"at insert size {self.insert_size}")
+
+
 def graph_trim_and_smooth(g: StringGraph, trim_length: int, host_ix=None,
                           max_indel: int = 9) -> None:
     """graphTrimAndSmooth (StriDe/assemble.cpp:461-490)."""

@@ -211,3 +211,106 @@ class TestOviewSubgraph:
         full = asqg.load(path, 0)
         nbrs = {e.end.id for e in full.vertices["r5"].edges} | {"r5"}
         assert set(g.vertices) <= nbrs
+
+
+class TestIslandJoin:
+    """Erosion / island-collect / PE island-join visitors
+    (assemble.cpp:337-360, SGVisitors.cpp:606-668,1371-1740)."""
+
+    def _pe_setup(self, _rng=None):
+        rng = np.random.default_rng(7)   # independent of fixture draw order
+        genome = "".join(rng.choice(list("ACGT"), size=2000))
+        # interleaved exact PE pairs: R1 = g[p:p+50], R2 = rc(g[p+100:p+150]);
+        # random start positions so kmer counts vary (a uniform grid puts
+        # every seed exactly at the 75th-percentile repeat cutoff)
+        reads = []
+        for i, p in enumerate(sorted(rng.integers(0, 1850, size=400).tolist())):
+            reads.append((f"p{i}/1", genome[p : p + 50]))
+            reads.append((f"p{i}/2", ab.revcomp_str(genome[p + 100 : p + 150])))
+        ix, lex_f, _ = build_ix(reads)
+        from longreadselfcorrect_tpu.index.ssa import SampledSA
+
+        ssa = SampledSA(ix.bwt, lex_f)
+        return genome, reads, ix, ssa
+
+    def test_sample_kmer_counts(self, rng):
+        _, reads, ix, _ = self._pe_setup(rng)
+        from longreadselfcorrect_tpu.graph.visitors import sample_kmer_counts
+
+        kd = sample_kmer_counts(ix.bwt, 21, 500)
+        assert kd.total == 500
+        kd.compute_attributes()
+        assert kd.q2 >= 1   # every sampled kmer occurs at least once
+
+    def test_erosion_trims_bad_island_end(self, rng):
+        genome, reads, ix, _ = self._pe_setup(rng)
+        from longreadselfcorrect_tpu.graph.visitors import FastaErosionVisitor
+
+        g = StringGraph()
+        junk = "A" * 30  # unsupported tail
+        g.add_vertex("A", genome[100:600] + junk)
+        g.visit(FastaErosionVisitor(ix.bwt, 21, 2, min_island=300))
+        out = g.get_vertex("A").seq
+        # unsupported junk tail gone; survivor is a genuine genome substring
+        # (random coverage may also erode a thin prefix)
+        assert out.endswith(genome[560:600])
+        assert "A" * 30 not in out
+        assert out in genome[100:600]
+
+    def test_join_islands_across_gap(self, rng):
+        genome, reads, ix, ssa = self._pe_setup(rng)
+        from longreadselfcorrect_tpu.graph.visitors import (
+            IslandCollectVisitor, JoinIslandVisitor, graph_trim_and_smooth)
+
+        g = StringGraph()
+        g.add_vertex("A", genome[200:800])
+        g.add_vertex("B", genome[840:1400])
+
+        collect = IslandCollectVisitor(ix, ssa, insert_size=150,
+                                       kmer_size=21, island_size=300)
+        g.visit(collect)
+        assert collect.island_count == 2
+        assert collect.tslv  # read ids mapped
+
+        join = JoinIslandVisitor(100, 4000, 21, 300, collect, ix,
+                                 min_pe_count=2)
+        g.visit(join)
+        assert join.island_count >= 1
+        g.simplify()
+        # the two islands must merge across the 40bp gap into one contig
+        assert len(g.vertices) == 1
+        (v,) = g.vertices.values()
+        assert v.seq == genome[200:1400] or v.seq == ab.revcomp_str(
+            genome[200:1400])
+
+
+class TestSGSearch:
+    def test_tree_walks_and_find_walks(self, rng):
+        genome, reads = make_corpus(rng, genome_len=400, read_len=80, step=40)
+        ix, lex_f, lex_r = build_ix(reads)
+        g = StringGraph()
+        edges = []
+        ovl.overlap_all(ix, reads, 40, lex_f, lex_r, irreducible=True,
+                        on_vertex=lambda rid, seq, is_sub: g.add_vertex(rid, seq),
+                        on_edge=edges.append)
+        for o in edges:
+            g.add_edges_from_overlap(o)
+        from longreadselfcorrect_tpu.graph import search as sgs
+        from longreadselfcorrect_tpu.graph.core import ED_SENSE, ED_ANTISENSE
+
+        # the irreducible chain r0 - r1 - ... : walk from r0 along SENSE
+        v0 = g.get_vertex("r0")
+        dir0 = ED_SENSE if v0.count_edges(ED_SENSE) else ED_ANTISENSE
+        walks = sgs.get_tree_walks(v0, dir0, 1000, 64)
+        assert walks
+        longest = max(walks, key=lambda w: len(w.edges))
+        s = longest.get_string()
+        # the walk string reconstructs a genome substring (either strand)
+        assert s in genome or ab.revcomp_str(s) in genome
+        assert len(s) > len(v0.seq)
+
+        # find_walks between r0 and the last vertex of the longest walk
+        target = longest.last_vertex()
+        found, complete = sgs.find_walks(v0, target, dir0, 1000, 64)
+        assert complete and found
+        assert any(w.get_string() == s for w in found)

@@ -47,6 +47,75 @@ class TestPreprocess:
         assert out is not None
         assert "N" not in out[0]
 
+    def test_ambiguity_discarded_by_default_flag(self):
+        stats = pp.PreprocessStats()
+        out = pp.process_read("ACGTN" * 10 + "ACGTACGTAC", "",
+                              self.params(discard_ambiguous=True), stats,
+                              random.Random(1))
+        assert out is None
+
+    def test_primer_screen(self):
+        stats = pp.PreprocessStats()
+        seq = "AATGATACGGCGAC" + "ACGT" * 20  # 14bp prefix of primer A
+        out = pp.process_read(seq, "", self.params(primer_check=True),
+                              stats, random.Random(1))
+        assert out is None
+        assert stats.reads_primer == 1
+
+    def test_get_pair_id(self):
+        assert pp.get_pair_id("read/1") == "read/2"
+        assert pp.get_pair_id("read/B") == "read/A"
+        assert pp.get_pair_id("readf") == "readr"
+        assert pp.get_pair_id("readX") == ""
+
+
+class TestPreprocessPE:
+    """PE interleave/orphan routing via the CLI (preprocess.cpp:233-321)."""
+
+    def _write_pairs(self, tmp_path):
+        rng = random.Random(5)
+        r1 = tmp_path / "r1.fq"
+        r2 = tmp_path / "r2.fq"
+        il = tmp_path / "il.fq"
+        with open(r1, "w") as f1, open(r2, "w") as f2, open(il, "w") as fi:
+            for i in range(8):
+                s1 = "".join(rng.choice("ACGT") for _ in range(60))
+                s2 = "".join(rng.choice("ACGT") for _ in range(60))
+                q2 = "#" * 60 if i == 2 else "I" * 60  # pair 2: mate fails
+                f1.write(f"@p{i}/1\n{s1}\n+\n{'I' * 60}\n")
+                f2.write(f"@p{i}/2\n{s2}\n+\n{q2}\n")
+                fi.write(f"@p{i}/1\n{s1}\n+\n{'I' * 60}\n")
+                fi.write(f"@p{i}/2\n{s2}\n+\n{q2}\n")
+        return r1, r2, il
+
+    def _run(self, argv):
+        from longreadselfcorrect_tpu import cli
+
+        return cli.main(argv)
+
+    def test_pe_mode1_and_mode2_agree(self, tmp_path):
+        r1, r2, il = self._write_pairs(tmp_path)
+        out1 = tmp_path / "out1.fq"
+        out2 = tmp_path / "out2.fq"
+        orph1 = tmp_path / "orph1.fq"
+        orph2 = tmp_path / "orph2.fq"
+        assert self._run(["preprocess", "-p", "1", "-q", "20",
+                          "--pe-orphans", str(orph1), "-o", str(out1),
+                          str(r1), str(r2)]) == 0
+        assert self._run(["preprocess", "-p", "2", "-q", "20",
+                          "--pe-orphans", str(orph2), "-o", str(out2),
+                          str(il)]) == 0
+        assert out1.read_text() == out2.read_text()
+        assert orph1.read_text() == orph2.read_text()
+        body = out1.read_text()
+        # pair 2 dropped from the main output, its good half orphaned
+        assert "@p2/1" not in body and "@p2/2" not in body
+        assert "@p2/1" in orph1.read_text()
+        # survivors are interleaved /1,/2
+        ids = [l for l in body.splitlines() if l.startswith("@p")]
+        assert ids[0].endswith("/1") and ids[1].endswith("/2")
+        assert ids[0][:-2] == ids[1][:-2]
+
 
 @pytest.fixture(scope="module")
 def sr_corpus():
