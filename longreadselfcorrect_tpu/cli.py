@@ -68,6 +68,12 @@ def cmd_pbcorrect(args) -> int:
     from .core.correct import CorrectionParams, SelfCorrector
     from .io import fasta
 
+    if args.num_processes > 1:
+        # must run before ANY jax backend touch (index loading included)
+        from .parallel import distributed as _dist
+
+        _dist.init(args.coordinator, args.num_processes, args.process_id)
+
     ix = _load_host_index(args.prefix)
     use_device = args.engine == "device"
     params = CorrectionParams(
@@ -93,9 +99,14 @@ def cmd_pbcorrect(args) -> int:
     if use_device:
         from .core.batch_correct import BatchedSelfCorrector
         from .index.pack import open_index
+        from .ops import walk as walkmod
 
+        cfg = None
+        if args.walk_config:
+            g_, ml, qm, ws = (int(x) for x in args.walk_config.split(","))
+            cfg = walkmod.WalkConfig(G=g_, MAXLEN=ml, QMAX=qm, WSCAN=ws)
         _, dix = open_index(args.prefix)
-        corrector = BatchedSelfCorrector(ix, dix, params)
+        corrector = BatchedSelfCorrector(ix, dix, params, cfg=cfg)
     else:
         corrector = SelfCorrector(ix, params)
     os.makedirs(args.output, exist_ok=True)
@@ -111,23 +122,47 @@ def cmd_pbcorrect(args) -> int:
     )
     t0 = time.time()
     n = 0
+
+    # multi-host mode (P9): contiguous read shard per process, rank-tagged
+    # part files, ordered rank-0 merge + one global counter reduction —
+    # the cross-process analog of the reference's ordered single-sink
+    # PostProcess (Concurrency/SequenceProcessFramework.h:183-195)
+    dist_mode = args.num_processes > 1
+    correct_path = os.path.join(args.output, "correct.fa")
+    discard_path = os.path.join(args.output, "discard.fa")
+    if dist_mode:
+        from .parallel import distributed as dist
+
+    def work_records():
+        if not dist_mode:
+            for rec in fasta.read_seqs(args.readsfile):
+                yield rec.id, rec.seq
+            return
+        all_items = [(r.id, r.seq) for r in fasta.read_seqs(args.readsfile)]
+        lo, hi = dist.shard_bounds(len(all_items), args.num_processes,
+                                   args.process_id)
+        yield from all_items[lo:hi]
+
     def result_stream():
         nonlocal n
         if use_device:
             batch = []
-            for rec in fasta.read_seqs(args.readsfile):
-                batch.append((rec.id, rec.seq))
+            for rid, seq in work_records():
+                batch.append((rid, seq))
                 if len(batch) == args.batch_reads:
                     yield from zip(batch, corrector.process_batch(batch))
                     batch = []
             if batch:
                 yield from zip(batch, corrector.process_batch(batch))
         else:
-            for rec in fasta.read_seqs(args.readsfile):
-                yield (rec.id, rec.seq), corrector.process(rec.id, rec.seq)
+            for rid, seq in work_records():
+                yield (rid, seq), corrector.process(rid, seq)
 
-    with open(os.path.join(args.output, "correct.fa"), "w") as fcorrect, open(
-        os.path.join(args.output, "discard.fa"), "w"
+    if dist_mode:
+        correct_path = dist.part_path(correct_path, args.process_id)
+        discard_path = dist.part_path(discard_path, args.process_id)
+    with open(correct_path, "w") as fcorrect, open(
+        discard_path, "w"
     ) as fdiscard:
         for (rec_id, rec_seq), result in result_stream():
             rec = type("R", (), {"id": rec_id, "seq": rec_seq})()
@@ -155,6 +190,25 @@ def cmd_pbcorrect(args) -> int:
                 dt = time.time() - t0
                 print(f"Processed {n} sequences in {dt:.1f}s ({n/dt:.1f} sequences/s)",
                       file=sys.stderr)
+
+    if dist_mode:
+        # global counter reduction + barrier, then the rank-0 ordered merge
+        import numpy as _np
+
+        keys = sorted(totals)
+        summed = dist.global_counter_sum(
+            _np.array([totals[k] for k in keys], _np.float64))
+        for k, v in zip(keys, summed):
+            totals[k] = type(totals[k])(v)
+        import jax.experimental.multihost_utils as mhu
+
+        mhu.sync_global_devices("pbcorrect-parts")
+        if args.process_id != 0:
+            return 0
+        dist.merge_ordered_parts(os.path.join(args.output, "correct.fa"),
+                                 args.num_processes)
+        dist.merge_ordered_parts(os.path.join(args.output, "discard.fa"),
+                                 args.num_processes)
 
     # summary mirrors PacBioSelfCorrectionPostProcess dtor (:288-306)
     if totals["walk_num"] > 0 and totals["reads_len"] > 0:
@@ -211,11 +265,11 @@ def _pbcorrect_onlyseed(args, ix, params) -> int:
                 fh.write(line + "\n")
             for i in range(3):
                 totals[i] += status[i]
-        line = bcode.summarize_line("total", totals)
-        if line:
-            fh.write(line + "\n")
-    print(f"total seeds: {sum(totals)} correct/error/none = {totals}",
-          file=sys.stderr)
+    # the aggregate goes to stdout, not total.seed
+    # (PacBioSelfCorrectionProcess.cpp:285: summarize(stdout, ..., "TOTAL"))
+    line = bcode.summarize_line("TOTAL", totals)
+    if line:
+        print(line)
     return 0
 
 
@@ -1049,6 +1103,15 @@ def main(argv=None) -> int:
     p.add_argument("--engine", choices=("host", "device"), default="host",
                    help="host: single-thread numpy engine; device: batched TPU engine")
     p.add_argument("--batch-reads", type=int, default=32)
+    p.add_argument("--walk-config", default=None, dest="walk_config",
+                   help="device-engine walk shape override "
+                        "G,MAXLEN,QMAX,WSCAN (tests/small runs)")
+    p.add_argument("--num-processes", type=int, default=1,
+                   dest="num_processes",
+                   help="multi-host data parallelism: total process count")
+    p.add_argument("--process-id", type=int, default=0, dest="process_id")
+    p.add_argument("--coordinator", default="127.0.0.1:39181",
+                   help="jax.distributed coordinator address (host:port)")
     p.set_defaults(func=cmd_pbcorrect)
 
     p = sub.add_parser("all", help="whole short-read pipeline in one run")

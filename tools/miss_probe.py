@@ -56,14 +56,25 @@ class Probe(BatchedSelfCorrector):
                 if match[4] != ek:
                     diffs.append("ek")
                 self.miss_kinds["+".join(diffs) or "identical?!"] += 1
-                if self.examples < 3 and diffs:
+                if self.examples < 8 and diffs:
                     self.examples += 1
+                    p = read_seq[source.seed_end_pos + 1 - ek
+                                 : source.seed_end_pos + 1]
+                    truth = ""
+                    if self.genome:
+                        seed = src[-(match[4]):]  # prev seed str tail
+                        gp = self.genome.find(seed)
+                        if gp > 0:
+                            truth = self.genome[gp - (ek - len(seed)) : gp] + seed
+                        else:
+                            from longreadselfcorrect_tpu.core import alphabet as _ab
+                            gp = self.genome.find(_ab.revcomp_str(seed))
+                            truth = f"(rc hit at {gp})"
                     print(f"[ex] rep={source.is_repeat}/{target.is_repeat} "
-                          f"srclen={source.seed_len} trglen={target.seed_len} "
-                          f"enum_ek={match[4]} replay_ek={ek} "
-                          f"enum_src={match[0][-12:]} replay_src={src[-12:]} "
-                          f"ebk={source.end_best_kmer_size} "
-                          f"sbk={target.start_best_kmer_size}")
+                          f"replay_ek={ek} enum_ek={match[4]}\n"
+                          f"     replay_src={src}\n"
+                          f"     rawwindow ={p}\n"
+                          f"     truth     ={truth}")
         return super()._correct_by_fm_extension(source, target, read_seq, result)
 
 
@@ -71,11 +82,13 @@ def main():
     import jax
     print("devices:", jax.devices(), file=sys.stderr)
     noisy = os.path.join(CACHE, "noisy.fa")
+    genome_path = os.path.join(CACHE, "genome.txt")
     items = [(r.id, r.seq) for r in fasta.read_seqs(noisy)][:N]
     hix, dix = open_index(os.path.join(CACHE, "ours"))
     params = CorrectionParams(pb_coverage=30, genome=10)
     dev = Probe(hix, dix, params,
                 cfg=walk.WalkConfig(G=512, MAXLEN=640, QMAX=640, WSCAN=320))
+    dev.genome = open(genome_path).read() if os.path.exists(genome_path) else ""
 
     # capture the enumerated prefetch keys
     orig_run = dev._run_tasks
