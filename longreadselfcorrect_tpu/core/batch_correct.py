@@ -112,6 +112,9 @@ class BatchedSelfCorrector(SelfCorrector):
         # otherwise fall off every config onto the host engine (fb_unfit)
         self.cfg_deep = _rep(self.cfg_big, G=64, KMAX=52)
         self._prefetch: dict = {}
+        # DP/MSA fallback runs its LF extraction + banded DP fills on the
+        # device (core/msa.py dev= path -> ops/msa_kernels)
+        self.msa_dev = self.wx.ix
         self.stats = {"prefetch_hit": 0, "prefetch_miss": 0, "host_fallback": 0}
 
     # ------------------------------------------------------------------
@@ -329,6 +332,9 @@ class BatchedSelfCorrector(SelfCorrector):
             ))
             keys.append(key)
 
+        # variant-B candidates: (args for push, prev_seed, need) collected
+        # first so the consensus left-extensions batch into ONE FM query
+        pending_b = []
         for rid, seq, seeds in per_read:
             for i in range(1, len(seeds)):
                 src, path, trg, interval, ek, min_sa = self._plan_gap(
@@ -337,24 +343,66 @@ class BatchedSelfCorrector(SelfCorrector):
                 push(src, path, trg, interval, ek, min_sa)
                 prev, curr = seeds[i - 1], seeds[i]
                 if i >= 2 and (prev.is_repeat or curr.is_repeat):
-                    # accumulated-source variant: source.seed_len is large,
-                    # so ek2 = min(target.seed_len, start_kmer_len + 2);
-                    # the piece's tail equals prev.seed_str's tail as long
-                    # as ek2 fits inside it (the walk ends with the target)
+                    # accumulated-source variant: during replay the source
+                    # is the merged piece whose seed_len is large, so
+                    # ek2 = min(target.seed_len, start_kmer_len + 2).  The
+                    # piece tail is prev.seed_str (the previous walk ends
+                    # with its target) preceded by CORRECTED bases — and
+                    # the raw base left of a seed is usually an error
+                    # (that is why the seed boundary is there), so those
+                    # bases are predicted as the FM consensus left
+                    # extension of the seed, batched below
                     ek2 = min(curr.seed_len, self.start_kmer_len + 2)
-                    if ek2 != ek and ek2 <= prev.seed_len:
-                        src2 = prev.seed_str[prev.seed_len - ek2:]
-                        trg2 = curr.seed_str
-                        if prev.is_repeat and not curr.is_repeat:
-                            # R->U strand flip, as in _plan_gap
-                            p2 = (seq[prev.seed_end_pos + 1 : prev.seed_end_pos + 1 + interval]
-                                  if interval >= 0 else seq[prev.seed_end_pos + 1:])
-                            src2, trg2 = (ab.revcomp_str(trg2),
-                                          ab.revcomp_str(src2))
-                            path2 = ab.revcomp_str(p2)
-                        else:
-                            path2 = path
-                        push(src2, path2, trg2, interval, ek2, min_sa)
+                    if ek2 != ek:
+                        need = ek2 - prev.seed_len
+                        if need <= 0:
+                            src2 = prev.seed_str[prev.seed_len - ek2:]
+                            pending_b.append(((seq, prev, curr, interval,
+                                               min_sa, ek2, path), src2, 0))
+                        elif need <= 2:
+                            pending_b.append(((seq, prev, curr, interval,
+                                               min_sa, ek2, path),
+                                              prev.seed_str, need))
+
+        # batched consensus left-extension for the variant-B prefixes
+        W = 12  # window: freq of (base + seed[:W]) picks the consensus base
+        rounds = max((nb for _, _, nb in pending_b), default=0)
+        for _ in range(rounds):
+            grow = [j for j, (_, w, nb) in enumerate(pending_b) if nb > 0]
+            if not grow:
+                break
+            words = np.stack([
+                np.concatenate([
+                    np.zeros(1, np.int8),
+                    ab.encode(pending_b[j][1][: W])])
+                for j in grow
+            ])  # [n, W+1]
+            cand = np.repeat(words, 4, axis=0)
+            cand[:, 0] = np.tile(np.arange(1, 5, dtype=np.int8), len(grow))
+            lo, hi = self.ix.bwt.find_interval(cand)
+            fwd = np.maximum(hi - lo + 1, 0)
+            lo, hi = self.ix.bwt.find_interval(
+                ab.complement(cand)[:, ::-1])
+            freq = (fwd + np.maximum(hi - lo + 1, 0)).reshape(len(grow), 4)
+            best = np.argmax(freq, axis=1)
+            for j, b in zip(grow, best):
+                args, w, nb = pending_b[j]
+                pending_b[j] = (args, "ACGT"[int(b)] + w, nb - 1)
+
+        for (seq, prev, curr, interval, min_sa, ek2, path), w, _ in pending_b:
+            src2 = w[len(w) - ek2:] if len(w) >= ek2 else None
+            if src2 is None:
+                continue
+            trg2 = curr.seed_str
+            if prev.is_repeat and not curr.is_repeat:
+                # R->U strand flip, as in _plan_gap
+                p2 = (seq[prev.seed_end_pos + 1 : prev.seed_end_pos + 1 + interval]
+                      if interval >= 0 else seq[prev.seed_end_pos + 1:])
+                src2, trg2 = ab.revcomp_str(trg2), ab.revcomp_str(src2)
+                path2 = ab.revcomp_str(p2)
+            else:
+                path2 = path
+            push(src2, path2, trg2, interval, ek2, min_sa)
 
         self._prefetch = {}
         self._run_tasks(tasks, keys)

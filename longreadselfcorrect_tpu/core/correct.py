@@ -275,7 +275,8 @@ class SelfCorrector:
         identity += 0.05 if total_max > 100 else 0
         min_call_coverage = int(total_max * 0.4) if total_max > 50 else 15
         ma = msa.build_multiple_alignment(
-            query, ek, ek, len(query) // 10, identity, self.params.pb_coverage, self.ix,
+            query, ek, ek, len(query) // 10, identity, self.params.pb_coverage,
+            self.ix, dev=getattr(self, "msa_dev", None),
         )
         if ma.num_rows() <= 3:
             return False, ""

@@ -221,9 +221,12 @@ def _lf_extract(fm, roots: np.ndarray, max_steps: int):
 
 
 def retrieve_str(query: str, seed_size: int, max_length: int, ix, is_rc: bool,
-                 coverage: int) -> list[str]:
+                 coverage: int, dev=None) -> list[str]:
     """retrieveStr (LongReadOverlap.cpp:667-756): LF-walk extraction of every
-    read (capped at `coverage` per strand) containing the query's seed kmer."""
+    read (capped at `coverage` per strand) containing the query's seed kmer.
+
+    dev: optional device IndexSet — the LF walks then run as one jitted
+    scan on the TPU (ops/msa_kernels.lf_extract), symbol-identical."""
     if is_rc:
         init_kmer = ab.revcomp_str(query[len(query) - seed_size:])
     else:
@@ -232,19 +235,26 @@ def retrieve_str(query: str, seed_size: int, max_length: int, ix, is_rc: bool,
     f_lo, f_hi = (int(x) for x in ix.rbwt.find_interval(ab.encode(init_kmer[::-1])))
     r_lo, r_hi = (int(x) for x in ix.bwt.find_interval(ab.encode(ab.revcomp_str(init_kmer))))
 
+    def extract(host_fm, dev_fm, roots):
+        if dev is not None:
+            from ..ops import msa_kernels
+
+            return msa_kernels.lf_extract(dev_fm, roots, steps)
+        return _lf_extract(host_fm, roots, steps)
+
     out: list[str] = []
     steps = max_length - len(init_kmer)
 
     if f_lo <= f_hi:
         roots = np.arange(f_lo, min(f_hi + 1, f_lo + coverage))
-        mat, lens = _lf_extract(ix.rbwt, roots, steps)
+        mat, lens = extract(ix.rbwt, dev.rbwt if dev is not None else None, roots)
         for r in range(len(roots)):
             s = init_kmer + _B2C[mat[r, : lens[r]]].tobytes().decode()
             out.append(ab.revcomp_str(s) if is_rc else s)
 
     if r_lo <= r_hi:
         roots = np.arange(r_lo, min(r_hi + 1, r_lo + coverage))
-        mat, lens = _lf_extract(ix.bwt, roots, steps)
+        mat, lens = extract(ix.bwt, dev.bwt if dev is not None else None, roots)
         rc_init = ab.revcomp_str(init_kmer)
         for r in range(len(roots)):
             # the reference PREPENDS each extracted char
@@ -254,11 +264,17 @@ def retrieve_str(query: str, seed_size: int, max_length: int, ix, is_rc: bool,
 
 
 def retrieve_matches(query: str, k: int, min_overlap: int, min_identity: float,
-                     coverage: int, ix, is_rc: bool) -> list[tuple[str, SequenceOverlap]]:
-    """retrieveMatches (LongReadOverlap.cpp:593-662)."""
+                     coverage: int, ix, is_rc: bool,
+                     dev=None) -> list[tuple[str, SequenceOverlap]]:
+    """retrieveMatches (LongReadOverlap.cpp:593-662).
+
+    With `dev`, the banded DP cell fills of every candidate run as one
+    batched device dispatch; the backtrack reads the downloaded cells, so
+    cigars (and the consensus) stay byte-identical to the host path."""
     max_length = int(len(query) * 1.1 + 20)
-    ovl_str = retrieve_str(query, k, max_length, ix, is_rc, coverage)
-    out = []
+    ovl_str = retrieve_str(query, k, max_length, ix, is_rc, coverage, dev)
+    bandwidth = 200
+    keep: list[str] = []
     for match_sequence in ovl_str:
         if (not is_rc and match_sequence[: len(query)] == query) or (
             is_rc
@@ -266,14 +282,34 @@ def retrieve_matches(query: str, k: int, min_overlap: int, min_identity: float,
             and match_sequence[len(match_sequence) - len(query):] == query
         ):
             continue
-        bandwidth = 200
+        keep.append(match_sequence)
+
+    cells_all = None
+    if dev is not None and keep:
+        from ..ops import msa_kernels
+
+        if is_rc:
+            s1 = [len(query) - k] * len(keep)
+            s2 = [len(m) - k for m in keep]
+        else:
+            s1 = [0] * len(keep)
+            s2 = [0] * len(keep)
+        cells_all = msa_kernels.banded_fill(
+            [query] * len(keep), keep, s1, s2, bandwidth, (1, -1, -8))
+
+    out = []
+    for n, match_sequence in enumerate(keep):
+        cells = None
+        if cells_all is not None:
+            cells = cells_all[n, : len(query) + 1]
         if is_rc:
             overlap = extend_match(
                 query, match_sequence, len(query) - k, len(match_sequence) - k,
-                bandwidth, 1, -1, -8,
+                bandwidth, 1, -1, -8, cells=cells,
             )
         else:
-            overlap = extend_match(query, match_sequence, 0, 0, bandwidth, 1, -1, -8)
+            overlap = extend_match(query, match_sequence, 0, 0, bandwidth,
+                                   1, -1, -8, cells=cells)
         if overlap.overlap_length() >= min_overlap and overlap.percent_identity() / 100 >= min_identity:
             out.append((match_sequence, overlap))
     return out
@@ -281,12 +317,14 @@ def retrieve_matches(query: str, k: int, min_overlap: int, min_identity: float,
 
 def build_multiple_alignment(query: str, src_kmer_length: int, tar_kmer_length: int,
                              min_overlap: int, min_identity: float, coverage: int,
-                             ix) -> MultipleAlignment:
+                             ix, dev=None) -> MultipleAlignment:
     """buildMultipleAlignment (LongReadOverlap.cpp:17-55)."""
     ma = MultipleAlignment()
     ma.add_base_sequence("query", query)
-    fwd = retrieve_matches(query, src_kmer_length, min_overlap, min_identity, coverage, ix, False)
-    rev = retrieve_matches(query, tar_kmer_length, min_overlap, min_identity, coverage, ix, True)
+    fwd = retrieve_matches(query, src_kmer_length, min_overlap, min_identity,
+                           coverage, ix, False, dev)
+    rev = retrieve_matches(query, tar_kmer_length, min_overlap, min_identity,
+                           coverage, ix, True, dev)
     for seq, ovl in fwd:
         ma.add_overlap("Src", seq, ovl)
     for seq, ovl in rev:

@@ -43,7 +43,7 @@ def _char_at(s: str, i: int) -> str:
     return s[i] if i < len(s) else "\0"
 
 
-def extend_match(
+def fill_cells(
     s1: str,
     s2: str,
     start_1: int,
@@ -52,15 +52,18 @@ def extend_match(
     match_score: int = 2,
     gap_penalty: int = -5,
     mismatch_penalty: int = -3,
-) -> SequenceOverlap:
+) -> np.ndarray:
+    """The banded cell fill of extendMatch (overlapper.cpp:421-620);
+    cells[i, r] is DP cell (i, j = band_origin + i + r).  Split out so the
+    device kernel (ops/msa_kernels.banded_fill) can replace it
+    cell-for-cell."""
     num_columns = len(s1) + 1
     num_rows = len(s2) + 1
     half = band_width // 2
     bw = half * 2 + 1
     band_origin = start_2 - start_1 + 1 - (half + 1)
 
-    # cells[i, r] is DP cell (i, j = band_origin + i + r); zero-init matches
-    # the reference's uninitialised-as-zero boundary semantics
+    # zero-init matches the reference's uninitialised-as-zero boundaries
     cells = np.zeros((num_columns, bw), dtype=np.int64)
     a1 = np.frombuffer(s1.encode(), dtype=np.uint8)
     a2 = np.frombuffer(s2.encode(), dtype=np.uint8)
@@ -87,6 +90,29 @@ def extend_match(
         k = np.arange(n)
         curr = np.maximum.accumulate(base - k * gap_penalty) + k * gap_penalty
         cells[i, rows - j0] = curr
+    return cells
+
+
+def extend_match(
+    s1: str,
+    s2: str,
+    start_1: int,
+    start_2: int,
+    band_width: int,
+    match_score: int = 2,
+    gap_penalty: int = -5,
+    mismatch_penalty: int = -3,
+    cells: np.ndarray | None = None,
+) -> SequenceOverlap:
+    num_columns = len(s1) + 1
+    num_rows = len(s2) + 1
+    half = band_width // 2
+    bw = half * 2 + 1
+    band_origin = start_2 - start_1 + 1 - (half + 1)
+
+    if cells is None:
+        cells = fill_cells(s1, s2, start_1, start_2, band_width,
+                           match_score, gap_penalty, mismatch_penalty)
 
     def score_at(i: int, j: int) -> int:
         r = j - (band_origin + i)

@@ -188,3 +188,79 @@ class TestSelfCorrector:
         result = corrector.process("junk", junk)
         assert not result.merge
         assert result.corrected_strs == []
+
+
+class TestDeviceMSAKernels:
+    """ops/msa_kernels must be cell- and symbol-identical to the host."""
+
+    @pytest.fixture(scope="class")
+    def dix(self):
+        from longreadselfcorrect_tpu.index.fmindex import FMIndex, IndexSet
+
+        rng = np.random.default_rng(202)
+        genome = "".join(rng.choice(list("ACGT"), size=5000))
+        reads = []
+        for i in range(120):
+            p = int(rng.integers(0, 5000 - 400))
+            r = genome[p : p + 400]
+            reads.append(ab.revcomp_str(r) if i % 2 else r)
+        enc = [ab.encode(r) for r in reads]
+        fwd, rev = build.build_bwt_pair(enc)
+        hix = HostIndexSet(HostFM(fwd.symbols, fwd.num_strings),
+                           HostFM(rev.symbols, rev.num_strings))
+        dev = IndexSet(bwt=FMIndex.from_symbols(fwd.symbols, fwd.num_strings),
+                       rbwt=FMIndex.from_symbols(rev.symbols, rev.num_strings))
+        return genome, hix, dev
+
+    def test_lf_extract_matches_host(self, dix):
+        from longreadselfcorrect_tpu.core.msa import _lf_extract
+        from longreadselfcorrect_tpu.ops import msa_kernels
+
+        genome, hix, dev = dix
+        roots = np.arange(5, 40)
+        hm, hl = _lf_extract(hix.bwt, roots, 60)
+        dm, dl = msa_kernels.lf_extract(dev.bwt, roots, 60)
+        assert np.array_equal(hl, dl)
+        assert np.array_equal(hm[:, :60], dm[:, :60])
+
+    def test_banded_fill_matches_host(self, dix):
+        from longreadselfcorrect_tpu.core.overlapper import fill_cells
+        from longreadselfcorrect_tpu.ops import msa_kernels
+
+        genome, hix, dev = dix
+        rng = np.random.default_rng(7)
+        queries, targets, s1s, s2s = [], [], [], []
+        for i in range(6):
+            p = int(rng.integers(0, 4000))
+            q = genome[p : p + 150 + i * 17]
+            t = list(genome[p : p + 160 + i * 11])
+            for j in range(0, len(t), 23):      # plant noise incl. indels
+                t[j] = "ACGT"[int(rng.integers(0, 4))]
+            if i % 2:
+                del t[40]
+            targets.append("".join(t))
+            queries.append(q)
+            if i % 3 == 2:                      # rc-style anchored at ends
+                s1s.append(len(q) - 19)
+                s2s.append(len(targets[-1]) - 19)
+            else:
+                s1s.append(0)
+                s2s.append(0)
+        cells = msa_kernels.banded_fill(queries, targets, s1s, s2s, 200,
+                                        (1, -1, -8))
+        for n in range(len(queries)):
+            host = fill_cells(queries[n], targets[n], s1s[n], s2s[n], 200,
+                              1, -1, -8)
+            assert np.array_equal(host, cells[n, : len(queries[n]) + 1]), n
+
+    def test_device_msa_consensus_identical(self, dix):
+        genome, hix, dev = dix
+        p = 1000
+        query = genome[p : p + 220]
+        ma_h = msa.build_multiple_alignment(query, 19, 19, 22, 0.65, 30, hix)
+        ma_d = msa.build_multiple_alignment(query, 19, 19, 22, 0.65, 30, hix,
+                                            dev=dev)
+        assert ma_h.num_rows() == ma_d.num_rows()
+        ch = ma_h.calculate_base_consensus(15, -1)
+        cd = ma_d.calculate_base_consensus(15, -1)
+        assert ch == cd and ch
