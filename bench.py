@@ -149,6 +149,11 @@ def main():
     ok = sum(1 for r in out if r.merge)
     log(f"device: {len(items)} reads in {dt_dev:.1f}s -> {dev_rps:.2f} reads/s "
         f"(merge {ok}/{len(items)}, stats {dev.stats})")
+    pt = getattr(dev, "phase_times", {})
+    if pt:
+        log("phase split (last run): "
+            f"seed {pt.get('seed', 0):.2f}s / walks {pt.get('walks', 0):.2f}s "
+            f"({pt.get('gaps', 0)} gaps) / replay {pt.get('replay', 0):.2f}s")
 
     # baseline: the reference binary single-thread on the same data
     stride = os.path.join(REPO, ".refbuild", "stride")

@@ -192,17 +192,17 @@ def cmd_pbcorrect(args) -> int:
                       file=sys.stderr)
 
     if dist_mode:
-        # global counter reduction + barrier, then the rank-0 ordered merge
+        # KV counter reduction (doubles as the parts-written barrier: every
+        # rank publishes AFTER closing its part files and blocks until all
+        # ranks' counters exist), then the rank-0 ordered merge
         import numpy as _np
 
         keys = sorted(totals)
-        summed = dist.global_counter_sum(
-            _np.array([totals[k] for k in keys], _np.float64))
+        summed = dist.kv_counter_sum(
+            _np.array([totals[k] for k in keys], _np.float64),
+            args.num_processes, args.process_id)
         for k, v in zip(keys, summed):
             totals[k] = type(totals[k])(v)
-        import jax.experimental.multihost_utils as mhu
-
-        mhu.sync_global_devices("pbcorrect-parts")
         if args.process_id != 0:
             return 0
         dist.merge_ordered_parts(os.path.join(args.output, "correct.fa"),
@@ -743,7 +743,9 @@ def cmd_fmwalk(args) -> int:
                     n_fail += 1
         elif args.algorithm == "hybrid":
             # MergeAndKmerize over consecutive pairs (FMW_HYBRID)
-            repeat_freq = median_kmer_frequency(ix, args.min_overlap) * 1.3
+            # size_t truncation: the reference stores q2*1.3 in a size_t
+            # (FMIndexWalkProcess.cpp:402), so 9*1.3=11.7 compares as 11
+            repeat_freq = int(median_kmer_frequency(ix, args.min_overlap) * 1.3)
             for i in range(0, len(recs) - 1, 2):
                 r1, r2 = recs[i], recs[i + 1]
                 res = merge_and_kmerize(

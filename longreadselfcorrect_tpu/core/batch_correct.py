@@ -299,11 +299,13 @@ class BatchedSelfCorrector(SelfCorrector):
         """Correct a batch of (read_id, sequence) reads."""
         import os, sys, time as _time
         _dbg = os.environ.get("LRSC_DEBUG_TIMING")
+        self.phase_times = {}
         _t0 = _time.time()
         per_read = []
         for base, chunk, seeds_lists in self._device_seed_scan(items):
             for (rid, seq), seeds in zip(chunk, seeds_lists):
                 per_read.append((rid, seq, seeds))
+        self.phase_times["seed"] = _time.time() - _t0
         if _dbg: print(f"[timing] seed scan (device): {_time.time()-_t0:.1f}s", file=sys.stderr, flush=True)
         _t0 = _time.time()
 
@@ -406,6 +408,8 @@ class BatchedSelfCorrector(SelfCorrector):
 
         self._prefetch = {}
         self._run_tasks(tasks, keys)
+        self.phase_times["walks"] = _time.time() - _t0
+        self.phase_times["gaps"] = len(tasks)
         if _dbg: print(f"[timing] device walks ({len(tasks)} gaps): {_time.time()-_t0:.1f}s", file=sys.stderr, flush=True)
         _t0 = _time.time()
 
@@ -463,6 +467,7 @@ class BatchedSelfCorrector(SelfCorrector):
             flush(force=True)
             self._collect_tasks(submitted)
             pending = still
+        self.phase_times["replay"] = _time.time() - _t0
         if _dbg: print(f"[timing] replay+retries: {_time.time()-_t0:.1f}s", file=sys.stderr, flush=True)
         self._misses = None
         return out

@@ -236,7 +236,9 @@ def retrieve_str(query: str, seed_size: int, max_length: int, ix, is_rc: bool,
     r_lo, r_hi = (int(x) for x in ix.bwt.find_interval(ab.encode(ab.revcomp_str(init_kmer))))
 
     def extract(host_fm, dev_fm, roots):
-        if dev is not None:
+        # the device walk is a sequential scan (latency ~ steps), so it
+        # only beats vectorised numpy when enough rows ride each step
+        if dev is not None and len(roots) * steps >= 32768:
             from ..ops import msa_kernels
 
             return msa_kernels.lf_extract(dev_fm, roots, steps)
@@ -285,7 +287,9 @@ def retrieve_matches(query: str, k: int, min_overlap: int, min_identity: float,
         keep.append(match_sequence)
 
     cells_all = None
-    if dev is not None and keep:
+    # batched device fill pays off once enough candidate lanes share the
+    # column scan; small pileups stay on the vectorised host fill
+    if dev is not None and len(keep) >= 16:
         from ..ops import msa_kernels
 
         if is_rc:

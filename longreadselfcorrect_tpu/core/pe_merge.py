@@ -414,13 +414,17 @@ def merge_and_kmerize(ix, seq1: str, seq2: str, k: int, threshold: int,
                 and _count_both(ix, first) < repeat_freq
                 and _count_both(ix, second) < repeat_freq)
     if suitable:
+        # the MergeAndKmerize walks use the ctor-default SA threshold 3
+        # (SAIntervalTree.h:29) — NOT the kmerize threshold
         tree1 = SAIntervalTree(ix, first, min_overlap, max_overlap,
                                max_insert, max_leaves,
-                               second_read=ab.revcomp_str(second))
+                               second_read=ab.revcomp_str(second),
+                               sa_threshold=3)
         code1, m1 = tree1.merge_two_reads()
         tree2 = SAIntervalTree(ix, second, min_overlap, max_overlap,
                                max_insert, max_leaves,
-                               second_read=ab.revcomp_str(first))
+                               second_read=ab.revcomp_str(first),
+                               sa_threshold=3)
         code2, m2 = tree2.merge_two_reads()
         if m1 and not m2 and tree1.max_used_leaves <= 1 and tree2.max_used_leaves <= 1:
             out["merge"] = True

@@ -45,6 +45,31 @@ class ProbeParams:
     directory: str = ""
 
 
+class _FreqLadder:
+    """Incremental boundary-kmer both-strand frequencies.
+
+    freq(k) of word[:k] via one bi-interval extension per k (both-strand
+    counts are strand-symmetric integers, so the ladder is exact)."""
+
+    def __init__(self, iset, word):
+        self.iset = iset
+        self.word = word
+        self.freqs = [0] * (len(word) + 1)
+        self.state = None
+        self.k = 0
+
+    def freq(self, k: int) -> int:
+        if self.state is None:
+            self.state = self.iset.init_bi(self.word[0])
+            self.freqs[1] = int(self.iset.bi_freq(self.state))
+            self.k = 1
+        while self.k < k:
+            self.state = self.iset.extend_bi(self.state, self.word[self.k])
+            self.k += 1
+            self.freqs[self.k] = int(self.iset.bi_freq(self.state))
+        return self.freqs[k]
+
+
 @dataclass
 class Seed:
     """SeedFeature (SeedFeature.h:35-45)."""
@@ -100,21 +125,38 @@ class Seed:
         substrings, so their counts are plain lookups
         (freq_table[k][seed_start] / freq_table[k][seed_end - k + 1])."""
         self._freq_table = freq_table
+        self._ladders = {}
         self._modify_kmer_size(ix, True)
         self._modify_kmer_size(ix, False)
         self._freq_table = None
+        self._ladders = None
 
     def _boundary_freq(self, ix, pole: bool, k: int) -> int:
         ft = getattr(self, "_freq_table", None)
         if ft is not None:
             pos = self.seed_start_pos if pole else self.seed_end_pos - k + 1
             return int(ft[k][pos])
-        word = ab.encode(self.seed_str)
-        if pole:
-            # reverse(seedStr) suffix of len k in the RBWT == both-strand
-            # frequency of the seed PREFIX of length k
-            return ix.rbwt.count_occurrences_both_strands(word[:k][::-1].copy())
-        return ix.bwt.count_occurrences_both_strands(word[self.seed_len - k:])
+        # incremental ladder: ONE bi-interval extension per k instead of a
+        # from-scratch double backward search per probe — the k-walk only
+        # moves by +-1, so from-scratch probes made the host best-k redo
+        # (seeds whose k leaves the device table) quadratic in k
+        ladders = getattr(self, "_ladders", None)
+        if ladders is None:
+            ladders = self._ladders = {}
+        lad = ladders.get(pole)
+        if lad is None:
+            from ..index.host import HostIndexSet
+
+            word = ab.encode(self.seed_str)
+            if pole:
+                lad = _FreqLadder(ix, word)            # prefix grows right
+            else:
+                # suffix growing left == prefix of the REVERSED seed
+                # growing right, counted in reversed-text space
+                lad = _FreqLadder(HostIndexSet(ix.rbwt, ix.bwt),
+                                  word[::-1].copy())
+            ladders[pole] = lad
+        return lad.freq(k)
 
     def _modify_kmer_size(self, ix, pole: bool) -> None:
         kmer_size = self.start_best_kmer_size if pole else self.end_best_kmer_size

@@ -67,14 +67,23 @@ def _lf_extract_jit(blocks, ckpt, C, block, roots, max_steps):
 def lf_extract(fm: FMIndex, roots: np.ndarray, max_steps: int):
     """Device-batched ``core.msa._lf_extract``: next <= max_steps symbols
     reached by LF from each BWT row (per-row stop at '$').
-    Returns (mat int8 [N, max_steps], lens [N]) as numpy."""
+    Returns (mat int8 [N, max_steps], lens [N]) as numpy.
+
+    Shapes are bucketed (N to powers of two, steps to multiples of 256) so
+    repeated calls with nearby sizes reuse one compiled kernel instead of
+    paying a compile per distinct gap geometry."""
     if len(roots) == 0 or max_steps <= 0:
         return (np.zeros((len(roots), max(max_steps, 1)), np.int8),
                 np.zeros(len(roots), np.int64))
+    n = len(roots)
+    n_pad = 1 << max(3, (n - 1).bit_length())
+    steps_pad = 256 * ((max_steps + 255) // 256)
+    r = np.zeros(n_pad, np.int64)
+    r[:n] = np.asarray(roots, np.int64)
     mat, lens = _lf_extract_jit(
-        fm.blocks, fm.ckpt, fm.C, fm.block,
-        jnp.asarray(np.asarray(roots, np.int64), I32), max_steps)
-    return np.asarray(mat), np.asarray(lens, np.int64)
+        fm.blocks, fm.ckpt, fm.C, fm.block, jnp.asarray(r, I32), steps_pad)
+    return (np.asarray(mat)[:n, :max_steps],
+            np.minimum(np.asarray(lens[:n], np.int64), max_steps))
 
 
 @functools.partial(jax.jit, static_argnames=("bw", "num_cols", "scores"))
@@ -139,12 +148,17 @@ def banded_fill(queries: list[str], targets: list[str], starts1, starts2,
     N = len(queries)
     half = band_width // 2
     bw = half * 2 + 1
+    # bucket shapes (N -> pow2, lengths -> multiples of 128) so gap-varying
+    # geometries share compiled kernels
+    n_pad = 1 << max(2, (N - 1).bit_length()) if N else 4
     max_q = max((len(q) for q in queries), default=1)
     max_t = max((len(t) for t in targets), default=1)
-    q_mat = np.zeros((N, max(max_q, 1)), np.int8)
-    t_mat = np.full((N, max(max_t, 1)), -1, np.int8)
-    t_len = np.zeros(N, np.int32)
-    origin = np.zeros(N, np.int32)
+    max_q = 128 * ((max_q + 127) // 128)
+    max_t = 128 * ((max_t + 127) // 128)
+    q_mat = np.zeros((n_pad, max_q), np.int8)
+    t_mat = np.full((n_pad, max_t), -1, np.int8)
+    t_len = np.zeros(n_pad, np.int32)
+    origin = np.zeros(n_pad, np.int32)
     for n, (q, t) in enumerate(zip(queries, targets)):
         q_mat[n, : len(q)] = ab.encode(q)
         t_mat[n, : len(t)] = ab.encode(t)
@@ -153,4 +167,4 @@ def banded_fill(queries: list[str], targets: list[str], starts1, starts2,
     cells = _banded_fill_jit(
         jnp.asarray(q_mat), jnp.asarray(t_mat), jnp.asarray(t_len),
         jnp.asarray(origin), bw, int(max_q), tuple(int(s) for s in scores))
-    return np.asarray(cells, np.int64)
+    return np.asarray(cells, np.int64)[:N]

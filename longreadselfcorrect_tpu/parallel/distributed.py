@@ -56,6 +56,29 @@ def merge_ordered_parts(out_path: str, num_processes: int,
                 os.remove(p)
 
 
+def kv_counter_sum(counters: np.ndarray, num_processes: int, process_id: int,
+                   timeout_ms: int = 1_200_000) -> np.ndarray:
+    """Sum per-host counter vectors through the jax.distributed
+    coordination-service KV store (pure RPC over DCN, no device
+    collectives).
+
+    The CLI uses this instead of a mesh psum because ranks finish their
+    shards minutes apart when compile caches are cold, and Gloo/ICI
+    collective setup has a short peer timeout; metrics reduction is not a
+    hot path, so the KV exchange (which also acts as the completion
+    barrier for the ordered merge) is the robust choice."""
+    from jax._src import distributed as _dist
+
+    client = _dist.global_state.client
+    payload = ",".join(repr(float(x)) for x in np.asarray(counters).ravel())
+    client.key_value_set(f"lrsc/counters/{process_id}", payload)
+    total = np.zeros(len(counters), np.float64)
+    for r in range(num_processes):
+        v = client.blocking_key_value_get(f"lrsc/counters/{r}", timeout_ms)
+        total += np.array([float(x) for x in v.split(",")])
+    return total
+
+
 def global_counter_sum(counters: np.ndarray):
     """Sum a per-host counter vector across every process in the global
     mesh (the metrics reduction of the reference's PostProcess sink)."""

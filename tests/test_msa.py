@@ -256,9 +256,11 @@ class TestDeviceMSAKernels:
     def test_device_msa_consensus_identical(self, dix):
         genome, hix, dev = dix
         p = 1000
-        query = genome[p : p + 220]
-        ma_h = msa.build_multiple_alignment(query, 19, 19, 22, 0.65, 30, hix)
-        ma_d = msa.build_multiple_alignment(query, 19, 19, 22, 0.65, 30, hix,
+        # long query + high coverage so the size gates route the work to
+        # the device kernels (rows*steps and candidate-count thresholds)
+        query = genome[p : p + 700]
+        ma_h = msa.build_multiple_alignment(query, 19, 19, 70, 0.65, 120, hix)
+        ma_d = msa.build_multiple_alignment(query, 19, 19, 70, 0.65, 120, hix,
                                             dev=dev)
         assert ma_h.num_rows() == ma_d.num_rows()
         ch = ma_h.calculate_base_consensus(15, -1)
