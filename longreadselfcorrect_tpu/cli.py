@@ -146,14 +146,21 @@ def cmd_pbcorrect(args) -> int:
     def result_stream():
         nonlocal n
         if use_device:
-            batch = []
-            for rid, seq in work_records():
-                batch.append((rid, seq))
-                if len(batch) == args.batch_reads:
-                    yield from zip(batch, corrector.process_batch(batch))
-                    batch = []
-            if batch:
-                yield from zip(batch, corrector.process_batch(batch))
+            def batches():
+                batch = []
+                for rid, seq in work_records():
+                    batch.append((rid, seq))
+                    if len(batch) == args.batch_reads:
+                        yield batch
+                        batch = []
+                if batch:
+                    yield batch
+
+            # pipelined: batch k+1's device work overlaps batch k's replay
+            all_batches = list(batches())
+            for batch, results in zip(all_batches,
+                                      corrector.process_stream(all_batches)):
+                yield from zip(batch, results)
         else:
             for rid, seq in work_records():
                 yield (rid, seq), corrector.process(rid, seq)

@@ -216,6 +216,11 @@ class BatchedSelfCorrector(SelfCorrector):
         """The ENTIRE seed phase on device (ops.seedscan): tables never
         leave the chip; only per-seed records do.  Yields
         (base, chunk, seeds_per_read)."""
+        yield from self._seed_collect(self._seed_submit(items))
+
+    def _seed_submit(self, items):
+        """Dispatch the device seed scan for every 64-read chunk without
+        collecting (device work proceeds asynchronously)."""
         import jax.numpy as jnp
 
         from ..ops import seedscan
@@ -272,6 +277,11 @@ class BatchedSelfCorrector(SelfCorrector):
             submitted.append((base, chunk,
                               (n, starts, sizes, freqs, reps, statics,
                                sk, ek, oor, keep)))
+        return submitted
+
+    def _seed_collect(self, submitted):
+        """Pull seed-scan results and build Seed records (host side)."""
+        pp = self.probe_params
         for base, chunk, devs in submitted:
             (n, starts, sizes, freqs, reps, statics, sk, ek, oor,
              keep) = (np.asarray(x) for x in devs)
@@ -309,6 +319,69 @@ class BatchedSelfCorrector(SelfCorrector):
         if _dbg: print(f"[timing] seed scan (device): {_time.time()-_t0:.1f}s", file=sys.stderr, flush=True)
         _t0 = _time.time()
 
+        tasks, keys = self._enumerate_walks(per_read)
+        self._prefetch = {}
+        self._run_tasks(tasks, keys)
+        self.phase_times["walks"] = _time.time() - _t0
+        self.phase_times["gaps"] = len(tasks)
+        if _dbg: print(f"[timing] device walks ({len(tasks)} gaps): {_time.time()-_t0:.1f}s", file=sys.stderr, flush=True)
+        _t0 = _time.time()
+        out = self._replay(per_read)
+        self.phase_times["replay"] = _time.time() - _t0
+        if _dbg: print(f"[timing] replay+retries: {_time.time()-_t0:.1f}s", file=sys.stderr, flush=True)
+        return out
+
+    def process_stream(self, batches):
+        """Streamed multi-batch correction with bounded memory: one batch
+        of reads is resident at a time; yields one result list per input
+        batch, in order.
+
+        Batch k+1's seed scan is dispatched only after batch k's replay
+        finishes.  NOTE: on a single device the execution queue is FIFO,
+        so dispatching k+1's work any earlier stalls batch k's
+        replay-retry rounds behind it (measured: an eager pipeline made
+        the whole stream ~15% slower than sequential)."""
+        import time as _time
+
+        # phase_times here are cumulative HOST-BLOCKING times (the phases
+        # overlap on the device, so per-phase wall splits are ill-defined)
+        self.phase_times = {"seed": 0.0, "walks": 0.0, "replay": 0.0,
+                            "gaps": 0}
+        q = []
+        batches = iter(batches)
+
+        def admit():
+            items = next(batches, None)
+            if items is None:
+                return False
+            q.append({"items": items, "seed_h": self._seed_submit(items)})
+            return True
+
+        admit()
+        while q:
+            st = q.pop(0)
+            _t = _time.time()
+            per_read = []
+            for base, chunk, seeds_lists in self._seed_collect(st["seed_h"]):
+                for (rid, seq), seeds in zip(chunk, seeds_lists):
+                    per_read.append((rid, seq, seeds))
+            self.phase_times["seed"] += _time.time() - _t
+            _t = _time.time()
+            tasks, keys = self._enumerate_walks(per_read)
+            prefetch: dict = {}
+            self._prefetch = prefetch
+            submitted = self._submit_tasks(tasks, keys)
+            self.phase_times["gaps"] += len(tasks)
+            self._collect_tasks(submitted)
+            self.phase_times["walks"] += _time.time() - _t
+            _t = _time.time()
+            self._prefetch = prefetch
+            yield self._replay(per_read)
+            self.phase_times["replay"] += _time.time() - _t
+            admit()
+
+    def _enumerate_walks(self, per_read):
+        """Optimistic prefetch task enumeration for a scanned batch."""
         # optimistic prefetch: every consecutive seed pair of every read.
         # For i >= 2 the replay's source is the ACCUMULATED piece, whose
         # seed_len is the merged length — for repeat-flanked gaps that
@@ -406,15 +479,12 @@ class BatchedSelfCorrector(SelfCorrector):
                 path2 = path
             push(src2, path2, trg2, interval, ek2, min_sa)
 
-        self._prefetch = {}
-        self._run_tasks(tasks, keys)
-        self.phase_times["walks"] = _time.time() - _t0
-        self.phase_times["gaps"] = len(tasks)
-        if _dbg: print(f"[timing] device walks ({len(tasks)} gaps): {_time.time()-_t0:.1f}s", file=sys.stderr, flush=True)
-        _t0 = _time.time()
+        return tasks, keys
 
-        # replay per read; gaps whose inputs drifted are collected and solved
-        # in further device rounds rather than one-by-one on the host
+    def _replay(self, per_read):
+        """Replay the per-read workflow against self._prefetch; drifted
+        gaps are collected and solved in further device rounds rather than
+        one-by-one on the host."""
         out = [None] * len(per_read)
         pending = list(range(len(per_read)))
         # on a miss the replay continues OPTIMISTICALLY (the pretend output
@@ -467,8 +537,6 @@ class BatchedSelfCorrector(SelfCorrector):
             flush(force=True)
             self._collect_tasks(submitted)
             pending = still
-        self.phase_times["replay"] = _time.time() - _t0
-        if _dbg: print(f"[timing] replay+retries: {_time.time()-_t0:.1f}s", file=sys.stderr, flush=True)
         self._misses = None
         return out
 

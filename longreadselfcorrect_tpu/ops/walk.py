@@ -1891,12 +1891,14 @@ def build_bank(host_ix, tasks: list[GapTask], cfg: WalkConfig,
     flat_t = ab.encode("".join(t.trg for t in tasks))
 
     def rows(flat, lens, width):
+        # per-row slice assigns: ~2us each, vs the [T, width] fancy-index
+        # gather whose int64 index temporaries dominated submit time
         out = np.full((T, width), ab.PAD_RANK, np.int8)
-        off = np.concatenate([[0], np.cumsum(lens)])
-        pos = np.arange(width)
-        m = pos[None, :] < lens[:, None]
-        idx = np.minimum(off[:-1, None] + pos[None, :], max(len(flat) - 1, 0))
-        out[:n][m] = flat[idx[m]]
+        off = 0
+        for i in range(n):
+            ln = int(lens[i])
+            out[i, :ln] = flat[off : off + ln]
+            off += ln
         return out
 
     query = rows(flat_q, q_len_l, cfg.QMAX)
@@ -1951,16 +1953,55 @@ def build_bank(host_ix, tasks: list[GapTask], cfg: WalkConfig,
             fused = None
     kb_term = max(int(min_overlap[: len(tasks)].max()), 2) if tasks else 2
     kb_root = max(int(init_k[: len(tasks)].max()), 2) if tasks else 2
-    consts, root = _prep_bank(
-        ix, fused, jnp.asarray(query), jnp.asarray(q_len), jnp.asarray(trg),
+    # 2-bit pack the big symbol matrices before they cross the wire (the
+    # tunnel transfer of the [T, QMAX] int8 query dominated submit time);
+    # _prep_bank_packed unpacks on-device, PAD restored from the lengths
+    consts, root = _prep_bank_packed(
+        ix, fused, jnp.asarray(_pack2(query)), jnp.asarray(q_len),
+        jnp.asarray(_pack2(trg)),
         jnp.asarray(trg_len), jnp.asarray(n_term), jnp.asarray(init_k),
         jnp.asarray(max_overlap), jnp.asarray(min_overlap),
         jnp.asarray(min_sa), jnp.asarray(max_indel), jnp.asarray(max_length),
         jnp.asarray(min_length), jnp.asarray(no_term),
         jnp.asarray(freqs), jnp.float32(pacbio_error_rate),
         cfg=cfg, kb_term=kb_term, kb_root=kb_root,
+        qw=query.shape[1], tw=trg.shape[1],
     )
     return QueueBank(consts=consts, root=root)
+
+
+def _pack2(mat: np.ndarray) -> np.ndarray:
+    """np int8 rank rows [N, W] -> uint8 [N, ceil(W/4)] (2 bits/symbol;
+    PAD positions carry garbage and are restored from lengths on-device)."""
+    n, w = mat.shape
+    wp = (w + 3) & ~3
+    m = np.zeros((n, wp), np.uint8)
+    m[:, :w] = np.clip(mat.astype(np.int16) - 1, 0, 3).astype(np.uint8)
+    m4 = m.reshape(n, wp // 4, 4)
+    sh = np.arange(4, dtype=np.uint8) * 2
+    return (m4 << sh).sum(axis=2, dtype=np.uint16).astype(np.uint8)
+
+
+@partial(jax.jit, static_argnames=("cfg", "kb_term", "kb_root", "qw", "tw"))
+def _prep_bank_packed(ix: IndexSet, fused, q_packed, q_len, t_packed,
+                      trg_len, n_term, init_k, max_overlap, min_overlap,
+                      min_sa, max_indel, max_length, min_length, no_term,
+                      freqs, pacbio_e, cfg: WalkConfig, kb_term: int,
+                      kb_root: int, qw: int, tw: int):
+    def unpack(packed, w, lens):
+        sh = jnp.arange(4, dtype=jnp.uint8) * 2
+        vals = ((packed[:, :, None] >> sh) & 3).reshape(packed.shape[0], -1)
+        ranks = (vals[:, :w] + 1).astype(jnp.int8)
+        pos = jax.lax.broadcasted_iota(jnp.int32, ranks.shape, 1)
+        return jnp.where(pos < lens[:, None], ranks,
+                         jnp.int8(ab.PAD_RANK))
+
+    query = unpack(q_packed, qw, q_len)
+    trg = unpack(t_packed, tw, trg_len)
+    return _prep_core(
+        ix, query, q_len, trg, trg_len, n_term, init_k, max_overlap,
+        min_overlap, min_sa, max_indel, max_length, min_length, no_term,
+        freqs, pacbio_e, cfg, kb_term, kb_root, fused=fused)
 
 
 def _quant_t(n: int) -> int:

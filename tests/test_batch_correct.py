@@ -70,3 +70,23 @@ def test_batched_matches_host(corpus):
     total = dev.stats["prefetch_hit"] + dev.stats["prefetch_miss"] + dev.stats["host_fallback"]
     assert total > 0
     assert dev.stats["prefetch_hit"] >= 0.8 * total, dev.stats
+
+
+def test_stream_matches_batch(corpus):
+    """process_stream (pipelined batches) must equal process_batch."""
+    genome, reads, hix, dix, rng = corpus
+    items = noisy_reads(genome, np.random.default_rng(21), 8, 0.06)
+    params = CorrectionParams(pb_coverage=30, genome=10)
+    dev = BatchedSelfCorrector(
+        hix, dix, params,
+        cfg=walk.WalkConfig(G=64, MAXLEN=640, QMAX=640, WSCAN=320),
+    )
+    whole = dev.process_batch(items)
+    streamed = []
+    for part in dev.process_stream([items[:3], items[3:6], items[6:]]):
+        streamed.extend(part)
+    assert len(streamed) == len(whole)
+    for a, b in zip(whole, streamed):
+        assert a.merge == b.merge
+        assert a.corrected_strs == b.corrected_strs
+        assert (a.fm_num, a.dp_num) == (b.fm_num, b.dp_num)
