@@ -98,6 +98,12 @@ class BatchedSelfCorrector(SelfCorrector):
         # engine via code -300.  The slab row gather is the superstep's top
         # cost, linear in SB.
         self.cfg = _rep(cfg, CK=ck, SLAB=True, SB=3)
+        # low-K variant of the primary config: the superstep's unified occ
+        # sweep and the chain ring are linear in NCHAIN = KMAX-CK+1, and
+        # most gaps extend at k <= start_kmer_len (init_k <= KMAX_LO-3), so
+        # routing them through a narrower chain cuts the sweep nearly in
+        # half for the bulk of the queue
+        self.cfg_lo = _rep(self.cfg, KMAX=max(ck + 7, 19))
         # wide/long buckets for gaps that exceed the primary config's windows
         self.cfg_big = walk.WalkConfig(
             G=128, MAXLEN=1536, QMAX=1536, WSCAN=576, TMAX=self.cfg.TMAX,
@@ -550,12 +556,17 @@ class BatchedSelfCorrector(SelfCorrector):
         # label is shorter than the chain-cache word can't use slab occ and
         # run on the dense-gather engine instead; deep-k gaps (ek beyond the
         # primary KMAX) get the widened-chain config.
-        small, big, huge, deep, dense = [], [], [], [], []
+        small, small_lo, big, huge, deep, dense = [], [], [], [], [], []
         for i, t in enumerate(tasks):
             if t.init_k < self.cfg.CK:
                 dense.append(i)
             elif self._task_fits(t.src, t.path, t.trg, t.dis, t.init_k):
-                small.append(i)
+                # narrow-chain bank for the bulk: all chain lengths the walk
+                # can reach (max_overlap + 1) fit the low-K config's ring
+                if t.max_overlap + 1 <= self.cfg_lo.KMAX:
+                    small_lo.append(i)
+                else:
+                    small.append(i)
             elif self._task_fits(t.src, t.path, t.trg, t.dis, t.init_k, self.cfg_big):
                 big.append(i)
             elif self._task_fits(t.src, t.path, t.trg, t.dis, t.init_k, self.cfg_huge):
@@ -564,19 +575,20 @@ class BatchedSelfCorrector(SelfCorrector):
                 deep.append(i)
         cfg_dense = _rep(self.cfg_huge, SLAB=False, G=32)
         submitted = []
-        # small bucket (the bulk): queue-refill engine — ONE dispatch walks
+        # small buckets (the bulk): queue-refill engine — ONE dispatch walks
         # the whole list with on-device lane refill, so neither stragglers
         # nor per-chunk dispatch round trips are paid
-        order = sorted(small, key=lambda i: tasks[i].dis)
         QMAXT = 8192
-        for base in range(0, len(order), QMAXT):
-            sel = order[base : base + QMAXT]
-            chunk = [tasks[i] for i in sel]
-            h = walk.submit_queue_batch(
-                self.ix, self.wx, chunk, self.cfg,
-                self.params.error_rate, self.params.pb_coverage,
-            )
-            submitted.append(("queue", [keys[i] for i in sel], h))
+        for sel_all, cfg_q in ((small_lo, self.cfg_lo), (small, self.cfg)):
+            order = sorted(sel_all, key=lambda i: tasks[i].dis)
+            for base in range(0, len(order), QMAXT):
+                sel = order[base : base + QMAXT]
+                chunk = [tasks[i] for i in sel]
+                h = walk.submit_queue_batch(
+                    self.ix, self.wx, chunk, cfg_q,
+                    self.params.error_rate, self.params.pb_coverage,
+                )
+                submitted.append(("queue", [keys[i] for i in sel], h))
         for sel_all, cfg in ((big, self.cfg_big), (huge, self.cfg_huge),
                              (deep, self.cfg_deep), (dense, cfg_dense)):
             order = sorted(sel_all, key=lambda i: tasks[i].dis)

@@ -287,10 +287,13 @@ def retrieve_matches(query: str, k: int, min_overlap: int, min_identity: float,
         keep.append(match_sequence)
 
     cells_all = None
-    # batched device fill pays off once enough candidate lanes share the
-    # column scan; small pileups stay on the vectorised host fill
-    if dev is not None and len(keep) >= 16:
-        from ..ops import msa_kernels
+    # candidate fills run in numpy lockstep (fill_cells_batched): measured
+    # on the bench corpus, the device kernel's cell readback alone
+    # (~20 MB/pileup through the device tunnel) costs more than the whole
+    # batched host fill, so the device path (ops/msa_kernels.banded_fill,
+    # kept for true device-resident pipelines) is off by default here
+    if len(keep) >= 2:
+        from .overlapper import fill_cells_batched
 
         if is_rc:
             s1 = [len(query) - k] * len(keep)
@@ -298,8 +301,8 @@ def retrieve_matches(query: str, k: int, min_overlap: int, min_identity: float,
         else:
             s1 = [0] * len(keep)
             s2 = [0] * len(keep)
-        cells_all = msa_kernels.banded_fill(
-            [query] * len(keep), keep, s1, s2, bandwidth, (1, -1, -8))
+        cells_all = fill_cells_batched(
+            [query] * len(keep), keep, s1, s2, bandwidth, 1, -1, -8)
 
     out = []
     for n, match_sequence in enumerate(keep):

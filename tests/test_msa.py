@@ -266,3 +266,31 @@ class TestDeviceMSAKernels:
         ch = ma_h.calculate_base_consensus(15, -1)
         cd = ma_d.calculate_base_consensus(15, -1)
         assert ch == cd and ch
+
+
+class TestBatchedHostFill:
+    def test_fill_cells_batched_equals_scalar(self):
+        import random
+
+        from longreadselfcorrect_tpu.core.overlapper import (
+            extend_match, fill_cells, fill_cells_batched)
+
+        random.seed(11)
+        rs = lambda n: "".join(random.choice("ACGT") for _ in range(n))
+        for bwid in (10, 31, 200):
+            grp = []
+            for _ in range(8):
+                L1, L2 = random.randint(1, 120), random.randint(1, 140)
+                grp.append((rs(L1), rs(L2), random.randint(0, L1 - 1),
+                            random.randint(0, L2 - 1)))
+            cb = fill_cells_batched([c[0] for c in grp], [c[1] for c in grp],
+                                    [c[2] for c in grp], [c[3] for c in grp],
+                                    bwid, 1, -1, -8)
+            for n, (s1, s2, st1, st2) in enumerate(grp):
+                ref = fill_cells(s1, s2, st1, st2, bwid, 1, -1, -8)
+                got = cb[n, : len(s1) + 1]
+                assert np.array_equal(got, ref), (bwid, n)
+                o1 = extend_match(s1, s2, st1, st2, bwid, 1, -1, -8)
+                o2 = extend_match(s1, s2, st1, st2, bwid, 1, -1, -8,
+                                  cells=got)
+                assert (o1.cigar, o1.score) == (o2.cigar, o2.score)
