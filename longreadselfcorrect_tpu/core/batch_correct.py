@@ -249,19 +249,14 @@ class BatchedSelfCorrector(SelfCorrector):
                 lens[i] = len(e)
             dmat = jnp.asarray(mat)
             dlens = jnp.asarray(lens)
-            # the bit-plane kernel seeds its chains at k = ck from the walk's
-            # interval cache; the smallest k the probe machinery ever reads
-            # is min(static sizes) - 1 (scan ladder + estimateBestKmerSize),
-            # so it is exact whenever that floor clears ck
-            min_probe_k = pp.start_kmer_len + min(pp.offset) - 1
-            if min_probe_k >= self.wx.fused.ck and pp.scan_kmer_len >= self.wx.fused.ck:
-                pix = scan.plane_index_of(self.ix, self.wx)
-                freq, valid = scan.kmer_table_planes(
-                    pix, self.wx.fused.wcache, dmat, dlens, max_k,
-                    self.wx.fused.ck)
-            else:
-                freq, valid = scan.kmer_table_full(self.wx.ix, dmat, dlens,
-                                                   max_k)
+            # fused-row LF chains for the whole table: measured on the bench
+            # corpus the bit-plane variant (kmer_table_planes — wcache-seeded
+            # chains, fewer levels) is ~20% SLOWER per chunk than the plain
+            # fused-row ladder (1.11s vs 0.93s per 256 reads), so the simple
+            # kernel is the production path; the plane kernel stays for
+            # device-memory-constrained indexes (no fused row table)
+            freq, valid = scan.kmer_table_full(self.wx.ix, dmat, dlens,
+                                               max_k)
             onehot = (dmat[:, :, None] == jnp.arange(1, 5, dtype=jnp.int8))
             prefix = jnp.pad(
                 jnp.cumsum(onehot, axis=1, dtype=jnp.int32),
