@@ -340,8 +340,11 @@ class BatchedSelfCorrector(SelfCorrector):
         Batch k+1's seed scan is dispatched only after batch k's replay
         finishes.  NOTE: on a single device the execution queue is FIFO,
         so dispatching k+1's work any earlier stalls batch k's
-        replay-retry rounds behind it (measured: an eager pipeline made
-        the whole stream ~15% slower than sequential)."""
+        replay-retry rounds behind it.  Re-measured round 5 after the
+        replay slimmed down (misses 2757 -> ~190, MSA fills on host):
+        early admission at B=128 still lost ~11% end-to-end (5.58s vs
+        5.01s per 256 reads) because the one force-flushed miss round
+        waits behind the queued seed scan — post-replay admission stays."""
         import time as _time
 
         # phase_times here are cumulative HOST-BLOCKING times (the phases

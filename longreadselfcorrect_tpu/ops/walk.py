@@ -1628,7 +1628,8 @@ def finalize_gap(tasks, red_np, g, cfg) -> tuple[int, str]:
         return -4, ""
     t = tasks[g]
     ln = int(red_np["len"][g])
-    thread = ab.decode(red_np["lab"][g][:ln])
+    row = red_np.get("lab_row")
+    thread = row(g, ln) if row is not None else ab.decode(red_np["lab"][g][:ln])
     i = int(red_np["i"][g])
     if len(t.trg) > t.min_overlap:
         thread += t.trg[i + t.min_overlap:]
@@ -2073,9 +2074,14 @@ def collect_queue_batch(host_ix, dev_ix, handle, pacbio_error_rate,
     sh = (np.arange(4, dtype=np.uint8) * 2)[None, None, :]
     lab = (((lab2[:, :, None] >> sh) & 3) + 1).astype(np.int8).reshape(
         lab2.shape[0], -1)
+    # one vectorised rank->char pass for ALL rows; finalize then just
+    # slices bytes (a per-gap ab.decode was ~30us x thousands of tasks)
+    lab_bytes = ab.RANK_TO_CHAR[lab.astype(np.int64)].tobytes()
+    W = lab.shape[1]
     red_np = {
         "code": code, "res_overflow": over, "has": has,
         "lab": lab, "len": lens, "i": i_,
+        "lab_row": lambda g, ln: lab_bytes[g * W : g * W + ln].decode(),
     }
     gstep_d = gstep
     _t1 = _time.time()
