@@ -93,11 +93,14 @@ class BatchedSelfCorrector(SelfCorrector):
         )
         ck = self.wx.fused.ck
         cfg = cfg or walk.WalkConfig(G=512, MAXLEN=768, QMAX=768, WSCAN=320)
-        # SB=3 covers slot-0 interval spans <= 257 symbols (unique ck-mers
+        # SB=2 covers slot-0 interval spans <= 129 symbols (unique ck-mers
         # are ~coverage wide); wider-repeat lanes escalate to the dense
         # engine via code -300.  The slab row gather is the superstep's top
-        # cost, linear in SB.
-        self.cfg = _rep(cfg, CK=ck, SLAB=True, SB=3)
+        # cost, linear in SB — measured on the bench corpus SB=2 cut the
+        # queue round 2.0s -> 1.3s with ZERO escalations and identical
+        # results; genomes with >=4-copy exact repeats at ck length pay a
+        # dense-engine retry per affected gap instead.
+        self.cfg = _rep(cfg, CK=ck, SLAB=True, SB=2)
         # low-K variant of the primary config: the superstep's unified occ
         # sweep and the chain ring are linear in NCHAIN = KMAX-CK+1, and
         # most gaps extend at k <= start_kmer_len (init_k <= KMAX_LO-3), so
@@ -384,8 +387,34 @@ class BatchedSelfCorrector(SelfCorrector):
             self.phase_times["replay"] += _time.time() - _t
             admit()
 
+    def _enum_state(self):
+        """Fresh state for incremental walk enumeration (reads can be fed
+        as their seed chunks land, overlapping the host enumeration with
+        the device seed scan of later chunks)."""
+        return {"tasks": [], "keys": [], "seen": set(), "pending_b": []}
+
+    def _enum_push(self, st, src, path, trg, interval, ek, min_sa):
+        key = (src, path, trg, interval, ek)
+        if key in st["seen"]:
+            return
+        st["seen"].add(key)
+        if not self._fits_any(src, path, trg, interval, ek):
+            return
+        st["tasks"].append(walk.GapTask(
+            src=src, path=path, trg=trg, dis=interval, init_k=ek,
+            max_overlap=ek + 2, min_overlap=self.params.min_kmer_len,
+            min_sa_threshold=min_sa,
+        ))
+        st["keys"].append(key)
+
     def _enumerate_walks(self, per_read):
         """Optimistic prefetch task enumeration for a scanned batch."""
+        st = self._enum_state()
+        for rid, seq, seeds in per_read:
+            self._enum_read(st, rid, seq, seeds)
+        return self._enum_finalize(st)
+
+    def _enum_read(self, st, rid, seq, seeds):
         # optimistic prefetch: every consecutive seed pair of every read.
         # For i >= 2 the replay's source is the ACCUMULATED piece, whose
         # seed_len is the merged length — for repeat-flanked gaps that
@@ -394,27 +423,9 @@ class BatchedSelfCorrector(SelfCorrector):
         # would miss.  Both variants are predictable from the original
         # seeds (the piece tail equals seeds[i-1].seed_str's tail), so
         # enumerate both keys up front instead of paying miss rounds.
-        tasks, keys = [], []
-        seen_keys = set()
-
-        def push(src, path, trg, interval, ek, min_sa):
-            key = (src, path, trg, interval, ek)
-            if key in seen_keys:
-                return
-            seen_keys.add(key)
-            if not self._fits_any(src, path, trg, interval, ek):
-                return
-            tasks.append(walk.GapTask(
-                src=src, path=path, trg=trg, dis=interval, init_k=ek,
-                max_overlap=ek + 2, min_overlap=self.params.min_kmer_len,
-                min_sa_threshold=min_sa,
-            ))
-            keys.append(key)
-
-        # variant-B candidates: (args for push, prev_seed, need) collected
-        # first so the consensus left-extensions batch into ONE FM query
-        pending_b = []
-        for rid, seq, seeds in per_read:
+        push = lambda *a: self._enum_push(st, *a)
+        pending_b = st["pending_b"]
+        if True:
             for i in range(1, len(seeds)):
                 src, path, trg, interval, ek, min_sa = self._plan_gap(
                     seeds[i - 1], seeds[i], seq
